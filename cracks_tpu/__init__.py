@@ -1,0 +1,27 @@
+"""cracks_tpu — a TPU-native phase-field fracture framework.
+
+A from-scratch JAX/XLA reimplementation of the capabilities of the
+pfm-cracks application (Heister/Wheeler/Wick, CMAME 290 (2015) 466-495):
+
+ * quasi-monolithic displacement / phase-field formulation,
+ * primal-dual active set treatment of crack irreversibility,
+ * predictor-corrector mesh adaptivity,
+ * parallelism via SPMD sharding of element arrays over a TPU device mesh
+   (instead of MPI + p4est + Trilinos).
+
+Design: a structured adaptive quad-/octree forest over an unstructured
+coarse root mesh, batched Q1 element quadrature as dense `(n_cells, ...)`
+array math, matrix-free Jacobian-vector products via `jax.jvp`, and
+masked semismooth Newton for the irreversibility constraint.
+"""
+
+__version__ = "0.1.0"
+
+import jax as _jax
+
+# The physics requires float64 for the tolerances used by the reference
+# test suite (Newton residuals down to 1e-10).  Individual kernels can be
+# instantiated in float32 for speed; the default is double precision.
+_jax.config.update("jax_enable_x64", True)
+
+from .config import Parameters, parse_prm, default_parameters  # noqa: E402,F401
