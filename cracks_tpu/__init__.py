@@ -17,11 +17,23 @@ masked semismooth Newton for the irreversibility constraint.
 
 __version__ = "0.1.0"
 
+import os as _os
+
 import jax as _jax
 
 # The physics requires float64 for the tolerances used by the reference
 # test suite (Newton residuals down to 1e-10).  Individual kernels can be
 # instantiated in float32 for speed; the default is double precision.
 _jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: the framework recompiles its kernels per
+# mesh epoch; caching makes repeated runs/test sessions fast.
+_cache_dir = _os.environ.get(
+    "CRACKS_TPU_CACHE", _os.path.expanduser("~/.cache/cracks_tpu_xla"))
+try:
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:  # pragma: no cover - older jax
+    pass
 
 from .config import Parameters, parse_prm, default_parameters  # noqa: E402,F401

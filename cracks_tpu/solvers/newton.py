@@ -1,0 +1,284 @@
+"""Nonlinear solvers: primal-dual active set semismooth Newton and the
+penalized monolithic Newton iteration.
+
+Faithful reimplementations of the reference's newton_active_set
+(cracks.cc:2780-2994) and newton_iteration (cracks.cc:2997-3107) as
+host-side control flow around jitted device kernels.  The active set is
+a boolean mask over phase-field vertices; "constraint lines" become
+mask entries; all convergence logic, cycle detection and line search
+follow the reference step for step.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import physics
+from ..ops.constraints import (Constraints, condense_residual,
+                               hanging_interpolate, hanging_transpose,
+                               residual_linfty, residual_norm)
+from . import linear
+
+
+class NoConvergence(Exception):
+    """Raised when Newton fails; the driver catches it and cuts the time
+    step (cracks.cc:4333-4336, 4397-4400)."""
+
+
+@dataclass
+class NewtonLog:
+    newton_steps: int = 0
+    linear_iterations: int = 0
+    active_set_size: int = 0
+    lines: list = field(default_factory=list)
+
+    def print_line(self, *cols, verbose=True):
+        line = "\t".join(str(c) for c in cols)
+        self.lines.append(line)
+        if verbose:
+            print(line)
+
+
+class LinearSolverCache:
+    """Holds the linearization point for Jacobian-reuse in the
+    penalized-monolithic Newton (cracks.cc:3041-3042)."""
+
+    def __init__(self):
+        self.u_lin = None
+        self.phi_lin = None
+
+    def set_point(self, u, phi):
+        self.u_lin = u
+        self.phi_lin = phi
+
+
+def _solve(sys, u, phi, phi_old, phi_oold, con, active, rhs_u, rhs_p,
+           with_split):
+    """Dispatch to the configured linear solver. Returns (du, dp, iters)."""
+    p = sys.params
+    mode = p.linear_solver
+    if mode == "auto":
+        mode = "direct" if sys.mesh.n_dofs <= 20000 else "cg"
+    if mode == "direct":
+        return linear.solve_direct(
+            u, phi, phi_old, phi_oold, sys.ca, sys.scalars, con, active,
+            rhs_u, rhs_p, dim=sys.dim, with_split=with_split,
+            monolithic=sys.monolithic)
+    diag_u, diag_p = physics.jacobian_diagonal(
+        u, phi, phi_old, phi_oold, sys.ca, sys.scalars,
+        dim=sys.dim, with_split=with_split, monolithic=sys.monolithic)
+    du, dp, iters = linear.solve_cg_block(
+        u, phi, phi_old, phi_oold, sys.ca, sys.scalars, con, active,
+        rhs_u, rhs_p, diag_u, diag_p, p.cg_rtol, 1e-300,
+        dim=sys.dim, with_split=with_split, monolithic=sys.monolithic,
+        maxiter=p.cg_maxiter)
+    return du, dp, int(iters)
+
+
+def newton_active_set(sys, state, time: float, verbose: bool = True):
+    """Primal-dual active set Newton (cracks.cc:2780-2994).
+
+    `sys` is a driver.System (mesh epoch bundle); `state` is the driver's
+    SolutionState with fields u, phi (current) and u_old, phi_old,
+    phi_oold (previous time steps), all jnp arrays.
+
+    Mutates state.u/state.phi; returns the last residual reduction.
+    """
+    p = sys.params
+    log = NewtonLog()
+    log.print_line("It.", "#A.Set", "#CycDoF", "Residual", "Reduction",
+                   "LSrch", "#LinIts", verbose=verbose)
+
+    con = sys.constraints(time)
+    with_split = sys.with_split
+
+    # set_initial_bc + hanging distribute (cracks.cc:2787-2788)
+    u, phi = sys.apply_initial_bc(state.u, state.phi, time)
+    u = hanging_interpolate(u, con)
+    phi = hanging_interpolate(phi, con)
+
+    def assemble(u_, phi_, active_):
+        ru, rp = physics.assemble_residual(
+            u_, phi_, state.phi_old, state.phi_oold, sys.ca, sys.scalars,
+            dim=sys.dim, with_split=with_split, monolithic=False)
+        tot_u = hanging_transpose(ru, con)
+        tot_p = hanging_transpose(rp, con)
+        pde_u, pde_p = condense_residual(ru, rp, con, active_)
+        return (tot_u, tot_p), (pde_u, pde_p)
+
+    n_v = sys.mesh.n_vertices
+    active = jnp.zeros(n_v, dtype=bool)
+    (tot_u, tot_p), (pde_u, pde_p) = assemble(u, phi, active)
+    newton_residual = float(residual_norm(pde_u, pde_p))
+    old_newton_residual = newton_residual
+    log.print_line(0, "", "", f"{newton_residual:.6e}", verbose=verbose)
+
+    cycle_counter = np.zeros(n_v, dtype=np.int64)
+    hang_mask = jnp.asarray(sys.mesh.hanging_mask())
+    diag_mass = sys.diag_mass  # jnp (n_v,)
+    c_weight = 1e1 * p.E_modulus  # cracks.cc:2859
+    n_cycling_threshold = 5       # cracks.cc:2866
+
+    newton_step = 0
+    sum_lin_it = 0
+    new_newton_residual = 0.0
+    while True:
+        active_old = active
+
+        # ---- active set update (cracks.cc:2822-2899) ----
+        gap = phi - state.phi_old
+        indicator = tot_p / diag_mass + c_weight * gap
+        cycling = jnp.asarray(cycle_counter >= n_cycling_threshold)
+        active = (indicator > 0.0) | cycling
+        active = active & ~hang_mask
+        n_cycling_dofs = int(jnp.sum(active & cycling))
+        # pin active dofs to the old value (cracks.cc:2880)
+        phi = jnp.where(active, state.phi_old, phi)
+        phi = hanging_interpolate(phi, con)
+        u = hanging_interpolate(u, con)
+
+        # cycle detection: count dofs that LEFT the set (cracks.cc:2901-2907)
+        left = np.asarray(active_old & ~active)
+        cycle_counter[left] += 1
+
+        n_active = int(jnp.sum(active))
+        num_changed = int(jnp.any(active != active_old))
+
+        # ---- assemble + solve (cracks.cc:2917-2920) ----
+        (tot_u, tot_p), (pde_u, pde_p) = assemble(u, phi, active)
+        du, dp, n_lin = _solve(sys, u, phi, state.phi_old, state.phi_oold,
+                               con, active, pde_u, pde_p, with_split)
+        sum_lin_it += n_lin
+
+        # ---- line search (cracks.cc:2940-2957) ----
+        saved_u, saved_phi = u, phi
+        line_search_step = 0
+        for line_search_step in range(p.max_no_line_search_steps):
+            u = u + du
+            phi = phi + dp
+            (tot_u, tot_p), (pde_u, pde_p) = assemble(u, phi, active)
+            new_newton_residual = float(residual_norm(pde_u, pde_p))
+            if new_newton_residual < newton_residual:
+                break
+            u, phi = saved_u, saved_phi
+            du = du * p.line_search_damping
+            dp = dp * p.line_search_damping
+
+        log.print_line(
+            newton_step + 1, n_active, n_cycling_dofs,
+            f"{new_newton_residual:.6e}",
+            f"{new_newton_residual / newton_residual:.6e}",
+            line_search_step, n_lin, verbose=verbose)
+
+        old_newton_residual = newton_residual
+        newton_residual = new_newton_residual
+        newton_step += 1
+
+        if newton_residual < p.lower_bound_newton_residual and num_changed == 0:
+            log.print_line(f"\tNewton iterations: {newton_step} "
+                           f"total linear iterations: {sum_lin_it}",
+                           verbose=verbose)
+            break
+        if newton_step >= p.max_no_newton_steps:
+            if verbose:
+                print(f"Newton iteration did not converge in {newton_step} steps.")
+            raise NoConvergence()
+
+    state.u = u
+    state.phi = phi
+    log.newton_steps = newton_step
+    log.linear_iterations = sum_lin_it
+    log.active_set_size = int(jnp.sum(active))
+    state.last_log = log
+    return new_newton_residual / old_newton_residual
+
+
+def newton_iteration(sys, state, time: float, verbose: bool = True):
+    """Penalized monolithic Newton with Jacobian reuse
+    (cracks.cc:2997-3107)."""
+    p = sys.params
+    log = NewtonLog()
+    log.print_line("It.", "Residual", "Reduction", "LSrch", "#LinIts",
+                   verbose=verbose)
+    nonlinear_rho = 0.1  # cracks.cc:3007
+
+    con = sys.constraints(time)
+    with_split = sys.with_split
+    active = jnp.zeros(sys.mesh.n_vertices, dtype=bool)
+
+    u, phi = sys.apply_initial_bc(state.u, state.phi, time)
+
+    def assemble(u_, phi_):
+        ru, rp = physics.assemble_residual(
+            u_, phi_, state.phi_old, state.phi_oold, sys.ca, sys.scalars,
+            dim=sys.dim, with_split=with_split, monolithic=True)
+        return condense_residual(ru, rp, con, active)
+
+    pde_u, pde_p = assemble(u, phi)
+    newton_residual = float(residual_linfty(pde_u, pde_p))
+    old_newton_residual = newton_residual
+    newton_step = 1
+    log.print_line(0, f"{newton_residual:.6e}", verbose=verbose)
+
+    # linearization point for Jacobian reuse
+    u_lin, phi_lin = u, phi
+
+    while (newton_residual > p.lower_bound_newton_residual
+           and newton_step < p.max_no_newton_steps):
+        old_newton_residual = newton_residual
+        pde_u, pde_p = assemble(u, phi)
+        newton_residual = float(residual_linfty(pde_u, pde_p))
+        if newton_residual < p.lower_bound_newton_residual:
+            log.print_line("", f"{newton_residual:.6e}", verbose=verbose)
+            break
+
+        rebuild = (newton_step == 1
+                   or newton_residual / old_newton_residual > nonlinear_rho)
+        if rebuild:
+            u_lin, phi_lin = u, phi
+
+        du, dp, n_lin = _solve(sys, u_lin, phi_lin, state.phi_old,
+                               state.phi_oold, con, active, pde_u, pde_p,
+                               with_split)
+        log.linear_iterations += n_lin
+
+        line_search_step = 0
+        new_newton_residual = newton_residual
+        for line_search_step in range(p.max_no_line_search_steps):
+            u = u + du
+            phi = phi + dp
+            pde_u, pde_p = assemble(u, phi)
+            new_newton_residual = float(residual_linfty(pde_u, pde_p))
+            if new_newton_residual < newton_residual:
+                break
+            u = u - du
+            phi = phi - dp
+            du = du * p.line_search_damping
+            dp = dp * p.line_search_damping
+
+        old_newton_residual = newton_residual
+        newton_residual = new_newton_residual
+        log.print_line(newton_step, f"{newton_residual:.6e}",
+                       f"{newton_residual / old_newton_residual:.6e}",
+                       line_search_step, n_lin, verbose=verbose)
+
+        if (newton_residual / old_newton_residual > p.upper_newton_rho
+                and newton_step > 1):
+            break
+        newton_step += 1
+
+    if (newton_residual > p.lower_bound_newton_residual
+            and newton_step == p.max_no_newton_steps):
+        if verbose:
+            print(f"Newton iteration did not converge in {newton_step} steps :-(")
+        raise NoConvergence()
+
+    state.u = u
+    state.phi = phi
+    log.newton_steps = newton_step
+    state.last_log = log
+    return newton_residual / old_newton_residual
