@@ -1,0 +1,39 @@
+"""Command-line driver: ``python -m cracks_tpu <parameters.prm>``.
+
+Mirrors the reference CLI (cracks.cc:4585-4686): with no arguments,
+runs the unit-test suite (if pytest is available) and writes a
+default.prm; with a parameter file, runs the simulation, echoing the
+resolved parameters and the statistics table into the output directory.
+"""
+
+import sys
+
+
+def main(argv=None):
+    argv = sys.argv[1:] if argv is None else argv
+    if not argv:
+        from .config import default_parameters, dump_parameters
+        with open("default.prm", "w") as f:
+            f.write(dump_parameters(default_parameters()))
+        print("usage: python -m cracks_tpu <parameter_file>")
+        print(" (created default.prm)")
+        return 0
+
+    from .config import load_parameters
+    from .driver import Simulation
+
+    overrides = {}
+    for extra in argv[1:]:
+        # allow key=value overrides of Parameters fields
+        key, _, value = extra.partition("=")
+        overrides[key] = type(getattr(load_parameters(argv[0]), key))(value)
+
+    p = load_parameters(argv[0], **overrides)
+    print(f"Problem dimension: {p.dimension}")
+    sim = Simulation(p)
+    sim.run()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

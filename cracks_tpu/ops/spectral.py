@@ -79,23 +79,43 @@ def stress_split_2d(E, lam_coeff, mu_coeff):
 
     E: (..., 2, 2) symmetric strains; lam_coeff/mu_coeff broadcastable
     scalars or (...,) arrays.  Returns (sigma_plus, sigma_minus).
-    Differentiable; `jax.jvp` of this function reproduces the reference's
-    hand-coded linearization (cracks.cc:1971-2110).
+
+    E+ is built from *spectral projections* P_i = ±(E - lambda_j I)/(l1-l2)
+    instead of explicit eigenvectors.  The primal values are identical to
+    the eigenvector form, but autodiff through this formulation yields the
+    exact derivative everywhere the eigenvalues are distinct — including
+    near-diagonal strains, where an eigenvector-branch formulation would
+    freeze the eigenbasis and lose the shear sensitivity d(sigma+)/dE01
+    (the reference's hand-coded general-branch derivative
+    (cracks.cc:1982-2091) is exact there too, so jax.jvp of this function
+    reproduces it).  At (near-)isotropic points lambda1 == lambda2 the
+    projections are singular; E+ degenerates smoothly to E (both
+    eigenvalues positive) or 0 (both negative), with the matching tangent.
     """
-    l1, l2, P = eigen_2x2_sym(E)
+    a = E[..., 0, 0]
+    b = E[..., 0, 1]
+    c = E[..., 1, 1]
+    trE = a + c
+    sq = jnp.sqrt((a - c) * (a - c) + 4.0 * b * b)   # l1 - l2 >= 0
+    l1 = 0.5 * (trE + sq)
+    l2 = 0.5 * (trE - sq)
     l1p = jnp.where(l1 < 0.0, 0.0, l1)
     l2p = jnp.where(l2 < 0.0, 0.0, l2)
 
-    # E+ = P diag(l1p, l2p) P^T = l1p v1 v1^T + l2p v2 v2^T
-    v1 = P[..., :, 0]
-    v2 = P[..., :, 1]
-    Ep = (l1p[..., None, None] * v1[..., :, None] * v1[..., None, :]
-          + l2p[..., None, None] * v2[..., :, None] * v2[..., None, :])
-
-    trE = E[..., 0, 0] + E[..., 1, 1]
-    trp = jnp.where(trE < 0.0, 0.0, trE)
+    scale = jnp.abs(a) + jnp.abs(c) + 2.0 * jnp.abs(b)
+    degenerate = sq <= 1e-12 * scale
+    sq_safe = jnp.where(degenerate, 1.0, sq)
 
     eye = jnp.eye(2, dtype=E.dtype)
+    # spectral projections: P1 = (E - l2 I)/(l1 - l2), P2 = (l1 I - E)/(l1 - l2)
+    P1 = (E - l2[..., None, None] * eye) / sq_safe[..., None, None]
+    P2 = (l1[..., None, None] * eye - E) / sq_safe[..., None, None]
+    Ep_gen = l1p[..., None, None] * P1 + l2p[..., None, None] * P2
+    # isotropic limit: l1 == l2 == tr/2 -> E+ = E if positive else 0
+    Ep_iso = jnp.where((trE < 0.0)[..., None, None], jnp.zeros_like(E), E)
+    Ep = jnp.where(degenerate[..., None, None], Ep_iso, Ep_gen)
+
+    trp = jnp.where(trE < 0.0, 0.0, trE)
     lam_b = jnp.asarray(lam_coeff)[..., None, None]
     mu_b = jnp.asarray(mu_coeff)[..., None, None]
     sp = lam_b * trp[..., None, None] * eye + 2.0 * mu_b * Ep

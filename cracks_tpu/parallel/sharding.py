@@ -1,0 +1,191 @@
+"""Multi-chip SPMD: domain decomposition of the element arrays over a
+TPU device mesh.
+
+This replaces the reference's MPI + p4est partitioning + Trilinos
+ghosted vectors (SURVEY.md section 2c/2d): the one parallelism axis of a
+phase-field FEM code is *spatial* data parallelism over mesh cells.
+
+Mapping (round 1 — replicated DoF vectors):
+ * element arrays (cell2vert, JxW, grads, material fields) are sharded
+   along the cell axis across the device mesh — cells are pre-sorted in
+   Morton order per root, so contiguous shards are spatially compact
+   (the analogue of a p4est space-filling-curve partition);
+ * solution vectors are replicated; the scatter-add of per-shard
+   residuals is combined with a `psum` over the ICI — the analogue of
+   Trilinos compress(VectorOperation::add) (cracks.cc:2470-2475);
+ * scalar reductions (dot products in CG, norms) run on replicated
+   vectors, so no further collectives are needed.
+
+This is exact (bit-identical modulo reduction order) w.r.t. the
+single-device path.  A halo-exchange variant with sharded DoF vectors
+(ppermute over ICI) is the planned next optimization for >100M-DoF runs
+where replication no longer fits HBM.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops import physics
+
+
+def make_device_mesh(n_devices: int | None = None) -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), ("cells",))
+
+
+def pad_cell_arrays(ca: physics.CellArrays, n_devices: int) -> physics.CellArrays:
+    """Pad the cell axis to a multiple of n_devices with zero-weight
+    dummy cells (JxW = 0 ⇒ zero contribution; gather indices point at
+    vertex 0, harmless)."""
+    n_c = ca.c2v.shape[0]
+    pad = (-n_c) % n_devices
+    if pad == 0:
+        return ca
+    def padz(a, fill=0):
+        if a is None or a.ndim == 0:
+            return a
+        widths = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
+        return jnp.pad(a, widths, constant_values=fill)
+    return physics.CellArrays(
+        c2v=padz(ca.c2v),
+        JxW=padz(ca.JxW),           # zero JxW kills the dummy cells
+        grads=padz(ca.grads),
+        shape_v=ca.shape_v,         # replicated table
+        lam=padz(ca.lam, 1),
+        mu=padz(ca.mu, 1),
+        inv_diam2=padz(ca.inv_diam2, 1),
+    )
+
+
+def shard_cell_arrays(ca: physics.CellArrays, mesh: Mesh) -> physics.CellArrays:
+    """Place each cell-axis leaf on the device mesh."""
+    n_dev = mesh.devices.size
+    ca = pad_cell_arrays(ca, n_dev)
+    shard = NamedSharding(mesh, P("cells"))
+    repl = NamedSharding(mesh, P())
+    return physics.CellArrays(
+        c2v=jax.device_put(ca.c2v, shard),
+        JxW=jax.device_put(ca.JxW, shard),
+        grads=jax.device_put(ca.grads, shard),
+        shape_v=jax.device_put(ca.shape_v, repl),
+        lam=jax.device_put(ca.lam, shard),
+        mu=jax.device_put(ca.mu, shard),
+        inv_diam2=jax.device_put(ca.inv_diam2, shard),
+    )
+
+
+def sharded_residual_fn(mesh: Mesh, *, dim: int, with_split: bool,
+                        monolithic: bool):
+    """Build the SPMD residual: each shard assembles its cells' raw
+    residual into a full-size vector; psum over ICI combines them."""
+    spec_ca = physics.CellArrays(
+        c2v=P("cells"), JxW=P("cells"), grads=P("cells"), shape_v=P(),
+        lam=P("cells"), mu=P("cells"), inv_diam2=P("cells"))
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(), P(), P(), P(), spec_ca, P()),
+             out_specs=(P(), P()))
+    def fn(u, phi, phi_old, phi_oold, ca, sc):
+        ru, rp = physics.assemble_residual(
+            u, phi, phi_old, phi_oold, ca, sc,
+            dim=dim, with_split=with_split, monolithic=monolithic)
+        return (jax.lax.psum(ru, "cells"), jax.lax.psum(rp, "cells"))
+
+    return fn
+
+
+def sharded_jvp_fn(mesh: Mesh, *, dim: int, with_split: bool,
+                   monolithic: bool):
+    res_fn = sharded_residual_fn(mesh, dim=dim, with_split=with_split,
+                                 monolithic=monolithic)
+
+    def jv(u, phi, du, dphi, phi_old, phi_oold, ca, sc):
+        f = lambda uu, pp: res_fn(uu, pp, phi_old, phi_oold, ca, sc)
+        _, (dru, drp) = jax.jvp(f, (u, phi), (du, dphi))
+        return -dru, -drp
+
+    return jv
+
+
+def make_multichip_newton_step(mesh: Mesh, con, hang_mask, diag_mass,
+                               c_weight, *, dim: int, with_split: bool,
+                               monolithic: bool, cg_iters: int = 30):
+    """One full jitted PDAS Newton step with the element arrays sharded
+    over the device mesh: sharded residual assembly (+psum over ICI),
+    on-device active-set update, and a block-triangular CG solve whose
+    matrix-vector products run SPMD.
+
+    Returns a jittable function
+      step(u, phi, phi_old, phi_oold, ca_sharded, sc)
+        -> (u_new, phi_new, residual_norm, n_active)
+    """
+    from ..ops.constraints import (condense_residual, expand_update,
+                                   hanging_interpolate, hanging_transpose)
+
+    res_fn = sharded_residual_fn(mesh, dim=dim, with_split=with_split,
+                                 monolithic=monolithic)
+    jv_fn = sharded_jvp_fn(mesh, dim=dim, with_split=with_split,
+                           monolithic=monolithic)
+
+    def cg(op, b, iters):
+        x = jax.tree_util.tree_map(jnp.zeros_like, b)
+        r = b
+        p = r
+        dot = lambda a, c: sum(jnp.vdot(q, w) for q, w in
+                               zip(jax.tree_util.tree_leaves(a),
+                                   jax.tree_util.tree_leaves(c)))
+        rr = dot(r, r)
+
+        def body(_, carry):
+            x, r, p, rr = carry
+            Ap = op(p)
+            denom = dot(p, Ap)
+            alpha = jnp.where(denom > 0, rr / denom, 0.0)
+            x = jax.tree_util.tree_map(lambda a, q: a + alpha * q, x, p)
+            r = jax.tree_util.tree_map(lambda a, q: a - alpha * q, r, Ap)
+            rr_new = dot(r, r)
+            beta = jnp.where(rr > 0, rr_new / rr, 0.0)
+            p = jax.tree_util.tree_map(lambda a, q: a + beta * q, r, p)
+            return x, r, p, rr_new
+
+        x, r, p, rr = jax.lax.fori_loop(0, iters, body, (x, r, p, rr))
+        return x
+
+    def step(u, phi, phi_old, phi_oold, ca, sc):
+        # residual + active-set indicator (cracks.cc:2822-2899)
+        ru, rp = res_fn(u, phi, phi_old, phi_oold, ca, sc)
+        tot_p = hanging_transpose(rp, con)
+        indicator = tot_p / diag_mass + c_weight * (phi - phi_old)
+        active = (indicator > 0.0) & ~hang_mask
+        phi = jnp.where(active, phi_old, phi)
+        phi = hanging_interpolate(phi, con)
+
+        ru, rp = res_fn(u, phi, phi_old, phi_oold, ca, sc)
+        rhs_u, rhs_p = condense_residual(ru, rp, con, active)
+
+        def jvc(du, dp):
+            eu, ep = expand_update(du, dp, con, active)
+            ju, jp = jv_fn(u, phi, eu, ep, phi_old, phi_oold, ca, sc)
+            return condense_residual(ju, jp, con, active)
+
+        du = cg(lambda d: jvc(d, jnp.zeros_like(phi))[0], rhs_u, cg_iters)
+        _, bp = jvc(du, jnp.zeros_like(phi))
+        dp = cg(lambda d: jvc(jnp.zeros_like(u), d)[1], rhs_p - bp, cg_iters)
+        du, dp = expand_update(du, dp, con, active)
+
+        u = u + du
+        phi = phi + dp
+        ru, rp = res_fn(u, phi, phi_old, phi_oold, ca, sc)
+        ru, rp = condense_residual(ru, rp, con, active)
+        norm = jnp.sqrt(jnp.sum(ru * ru) + jnp.sum(rp * rp))
+        return u, phi, norm, jnp.sum(active)
+
+    return step

@@ -1,9 +1,12 @@
 """Test configuration: run on CPU with 8 virtual devices so the
-multi-chip sharding paths can be exercised without TPU hardware."""
+multi-chip sharding paths can be exercised without TPU hardware.
+
+(The environment pins JAX_PLATFORMS to the TPU plugin; override it
+before any backend initialization.)"""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -12,3 +15,4 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_platforms", "cpu")
