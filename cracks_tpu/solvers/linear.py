@@ -92,8 +92,15 @@ def _constraint_matrix(con: Constraints, active: np.ndarray, n_v: int,
     C = sp.coo_matrix(
         (np.concatenate(vals), (np.concatenate(rows), np.concatenate(cols))),
         shape=(n_dofs, n_dofs)).tocsr()
-    # rows of Dirichlet/active children must be zero even if also hanging?
-    # deal.II: hanging wins (right_object_wins) => keep interpolation.
+    # Resolve constraint chains the way AffineConstraints::close() does:
+    # a hanging child whose master is itself constrained (Dirichlet or
+    # active) interpolates a zero from it in the homogeneous update
+    # space, so constrained *columns* must be dropped.  (Without this,
+    # C^T A C has spurious entries in constrained rows and the
+    # distributed update violates the hanging constraints whenever an
+    # active-set dof is a hanging master — which stalls Newton.)
+    free_diag = sp.diags((~constrained).astype(np.float64))
+    C = (C @ free_diag).tocsr()
     return C, constrained
 
 
