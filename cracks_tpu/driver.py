@@ -364,7 +364,7 @@ class Simulation:
         if self.sys is None:
             self.setup_system()
 
-        assert self.alpha_eps >= self.mesh.min_cell_diameter * 0 or True
+        # sanity checks mirroring the reference (cracks.cc:4216-4217)
         if not (self.alpha_eps >= self.min_cell_diameter):
             raise ValueError("You need to pick eps >= h")
         if not (self.constant_k < 1.0):

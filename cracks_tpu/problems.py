@@ -218,10 +218,11 @@ class BitmapField:
         if pts.shape[1] == 2:
             return lo + self._get(x, y) * (hi - lo)
         z = (pts[:, 2] - self.y1) / (self.y2 - self.y1)
+        # np.fmod matches C fmod (sign of the dividend), cracks.cc:233
         return lo + (
             self._get(x / 10.0, (y - z) / 10.0)
             + 0.5 * self._get((x + y) / 2.0, (z + x) / 2.0)
-            + 0.25 * self._get(np.mod(z + x - y, 10.0), np.mod(y + x, 10.0))
+            + 0.25 * self._get(np.fmod(z + x - y, 10.0), np.fmod(y + x, 10.0))
         ) * (hi - lo) / 2.25
 
 

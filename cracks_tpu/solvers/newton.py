@@ -58,16 +58,27 @@ class LinearSolverCache:
 
 def _solve(sys, u, phi, phi_old, phi_oold, con, active, rhs_u, rhs_p,
            with_split):
-    """Dispatch to the configured linear solver. Returns (du, dp, iters)."""
+    """Dispatch to the configured linear solver. Returns (du, dp, iters).
+
+    'auto' uses the exact sparse factorization for small systems and the
+    matrix-free CG for large ones.  Configurations with K reg = 0 can
+    make the displacement block exactly singular inside a fully
+    developed crack (pf_extra == 0); the reference handles those with an
+    iterative Krylov solver whose iterates stay in the range space
+    (GMRES, cracks.cc:2762-2771), so a singular factorization falls back
+    to the CG path, which has the same property."""
     p = sys.params
     mode = p.linear_solver
     if mode == "auto":
         mode = "direct" if sys.mesh.n_dofs <= 20000 else "cg"
     if mode == "direct":
-        return linear.solve_direct(
-            u, phi, phi_old, phi_oold, sys.ca, sys.scalars, con, active,
-            rhs_u, rhs_p, dim=sys.dim, with_split=with_split,
-            monolithic=sys.monolithic)
+        try:
+            return linear.solve_direct(
+                u, phi, phi_old, phi_oold, sys.ca, sys.scalars, con, active,
+                rhs_u, rhs_p, dim=sys.dim, with_split=with_split,
+                monolithic=sys.monolithic)
+        except RuntimeError:
+            pass  # exactly singular factor -> CG below
     diag_u, diag_p = physics.jacobian_diagonal(
         u, phi, phi_old, phi_oold, sys.ca, sys.scalars,
         dim=sys.dim, with_split=with_split, monolithic=sys.monolithic)

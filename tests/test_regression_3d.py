@@ -1,0 +1,37 @@
+"""Golden regressions in 3d: Sneddon penny crack and the heterogeneous
+(bitmap-material) multiple-crack case.
+
+The reference runs these under mpirun -n 4; statistics are
+rank-count-independent, so single-device results compare directly."""
+
+import pytest
+
+from cracks_tpu.driver import run_prm
+
+from .regression import PRM_DIR, compare_statistics
+from .test_regression_adaptive import _prefix_match
+
+
+def test_sneddon_3d_first_step(tmp_path):
+    sim, _ = run_prm(f"{PRM_DIR}/sneddon_3d_1.prm", output_dir=str(tmp_path),
+                     max_no_timesteps=0)
+    _prefix_match(sim, "sneddon_3d_1.mpirun=4.statistics", 1)
+    assert sim.mesh.n_dofs == 5324
+
+
+@pytest.mark.slow
+def test_sneddon_3d_full(tmp_path):
+    sim, _ = run_prm(f"{PRM_DIR}/sneddon_3d_1.prm", output_dir=str(tmp_path))
+    compare_statistics(sim.statistics.write_text(),
+                       "sneddon_3d_1.mpirun=4.statistics")
+    tcv = sim.statistics.data["TCV"][-1]
+    assert tcv == pytest.approx(0.0399535, abs=1e-5)
+
+
+@pytest.mark.slow
+def test_hetero_3d_full(tmp_path):
+    sim, _ = run_prm(f"{PRM_DIR}/hetero_3d_1.prm", output_dir=str(tmp_path))
+    compare_statistics(
+        sim.statistics.write_text(), "hetero_3d_1.mpirun-4.statistics",
+        col_overrides={"Energy": (1e-3, 2e-3)})
+    assert sim.mesh.n_dofs == 5288

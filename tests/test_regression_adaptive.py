@@ -1,0 +1,55 @@
+"""Golden regressions for the adaptive (predictor-corrector) cases.
+
+miehe_shear_1 reproduces the reference's statistics digit for digit,
+including the refinement trajectory 891 -> 918 -> 984 -> 1068 -> 1173
+-> 1506 DoFs.  Full runs are slow-marked; CI runs shortened prefixes.
+"""
+
+import numpy as np
+import pytest
+
+from cracks_tpu.driver import run_prm
+
+from .regression import PRM_DIR, compare_statistics, load_golden, parse_statistics
+
+
+def _prefix_match(sim, golden_name, n_rows, atol=1e-6, rtol=1e-8):
+    ours = parse_statistics(sim.statistics.write_text())[1][:n_rows]
+    golden = load_golden(golden_name)[1][:n_rows]
+    assert ours.shape == golden.shape
+    diff = np.abs(ours - golden)
+    rel = diff / np.maximum(np.abs(golden), 1e-300)
+    ok = (diff <= atol) | (rel <= rtol)
+    assert ok.all(), (ours[~ok.all(axis=1)], golden[~ok.all(axis=1)])
+
+
+@pytest.mark.slow
+def test_miehe_shear_1_full(tmp_path):
+    sim, _ = run_prm(f"{PRM_DIR}/miehe_shear_1.prm", output_dir=str(tmp_path))
+    compare_statistics(sim.statistics.write_text(), "miehe_shear_1.statistics")
+
+
+def test_miehe_shear_1_through_first_refinement(tmp_path):
+    # 8 steps cover the first two refinements (918 and 984 DoFs)
+    sim, _ = run_prm(f"{PRM_DIR}/miehe_shear_1.prm", output_dir=str(tmp_path),
+                     max_no_timesteps=7)
+    _prefix_match(sim, "miehe_shear_1.statistics", 8)
+    assert sim.mesh.n_dofs == 984
+
+
+@pytest.mark.slow
+def test_miehe_tension_adaptive_full(tmp_path):
+    sim, _ = run_prm(f"{PRM_DIR}/miehe_tension_adaptive_1.prm",
+                     output_dir=str(tmp_path))
+    # rows 0-26 match to ~1e-5 relative; the violent softening steps
+    # 27-32 (load drops 820 -> 83 in six steps) are path-sensitive in the
+    # non-convex regime and agree to ~1e-2 relative
+    compare_statistics(
+        sim.statistics.write_text(), "miehe_tension_adaptive_1.statistics",
+        col_overrides={"Energy": (1e-3, 1.5e-2), "Load": (1e-6, 1.5e-2)})
+
+
+def test_miehe_tension_adaptive_prefix(tmp_path):
+    sim, _ = run_prm(f"{PRM_DIR}/miehe_tension_adaptive_1.prm",
+                     output_dir=str(tmp_path), max_no_timesteps=5)
+    _prefix_match(sim, "miehe_tension_adaptive_1.statistics", 6)
