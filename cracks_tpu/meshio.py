@@ -67,6 +67,36 @@ def face_vertices(dim: int):
     return FACE_VERTICES_2D if dim == 2 else FACE_VERTICES_3D
 
 
+def fix_cell_orientation(mesh: "CoarseMesh") -> "CoarseMesh":
+    """Reorient inverted cells (negative Jacobian at the cell center) by
+    mirroring the local x axis — the job deal.II's GridIn does when
+    reading meshes with inconsistent orientation (threepoint.msh stores
+    clockwise quads)."""
+    dim = mesh.dim
+    cells = mesh.cells
+    X = mesh.vertices[cells]  # (n, 2**dim, dim)
+    if dim == 2:
+        e1 = 0.5 * (X[:, 1] - X[:, 0] + X[:, 3] - X[:, 2])
+        e2 = 0.5 * (X[:, 2] - X[:, 0] + X[:, 3] - X[:, 1])
+        det = e1[:, 0] * e2[:, 1] - e1[:, 1] * e2[:, 0]
+        flip = det < 0
+        if flip.any():
+            # mirror the local x axis: swap lex columns (0,1) and (2,3)
+            cells = cells.copy()
+            cells[flip] = cells[flip][:, [1, 0, 3, 2]]
+    else:
+        e1 = X[:, 1] - X[:, 0]
+        e2 = X[:, 2] - X[:, 0]
+        e3 = X[:, 4] - X[:, 0]
+        det = np.einsum("nd,nd->n", np.cross(e1, e2), e3)
+        flip = det < 0
+        if flip.any():
+            cells = cells.copy()
+            cells[flip] = cells[flip][:, [1, 0, 3, 2, 5, 4, 7, 6]]
+    mesh.cells = cells
+    return mesh
+
+
 # ---------------------------------------------------------------------------
 # Generated rectangle (reference cracks.cc:1240-1254)
 # ---------------------------------------------------------------------------
@@ -206,7 +236,8 @@ def read_ucd(path: str, dim: int) -> CoarseMesh:
         else:
             raise ValueError(f"unsupported UCD element type {kind!r}")
 
-    return CoarseMesh(dim, verts, np.array(cells, dtype=np.int64), boundary_ids)
+    return fix_cell_orientation(
+        CoarseMesh(dim, verts, np.array(cells, dtype=np.int64), boundary_ids))
 
 
 # ---------------------------------------------------------------------------
@@ -257,4 +288,5 @@ def read_msh(path: str, dim: int = 2) -> CoarseMesh:
         else:
             raise ValueError(f"unsupported gmsh element type {etype}")
 
-    return CoarseMesh(dim, verts, np.array(cells, dtype=np.int64), boundary_ids)
+    return fix_cell_orientation(
+        CoarseMesh(dim, verts, np.array(cells, dtype=np.int64), boundary_ids))
