@@ -62,6 +62,16 @@ class System:
         dtype = jnp.float64 if params.dtype == "float64" else jnp.float32
         self.dtype = dtype
         self.ca = physics.build_cell_arrays(mesh, lam, mu, dtype=dtype)
+        if params.n_devices > 1:
+            # SPMD domain decomposition: shard the element arrays over the
+            # device mesh; XLA's partitioner parallelizes the jitted
+            # kernels and inserts the ICI collectives (the explicit
+            # shard_map formulation lives in parallel/sharding.py).
+            from .parallel import sharding as _sh
+            self._device_mesh = _sh.make_device_mesh(params.n_devices)
+            self.ca = _sh.shard_cell_arrays(self.ca, self._device_mesh)
+        else:
+            self._device_mesh = None
         t = element_tables(mesh.dim)
         self.diag_mass = jnp.asarray(lumped_mass_diag(
             mesh.cell_coords, mesh.cell2vert, mesh.n_vertices, t), dtype=dtype)

