@@ -25,7 +25,8 @@ from .config import Parameters, dump_parameters
 from .fem import element_tables, lumped_mass_diag
 from .mesh import Forest, MeshData
 from .ops import physics
-from .ops.constraints import Constraints, hanging_interpolate, make_constraints
+from .ops.constraints import (Constraints, hanging_interpolate_p,
+                              hanging_interpolate_u, make_constraints)
 from .output import PvdWriter, write_vtu
 from .solvers import newton
 from .solvers.newton import NoConvergence
@@ -92,11 +93,13 @@ class System:
 
     def apply_initial_bc(self, u, phi, time: float):
         """set_initial_bc (cracks.cc:2699-2707): write the inhomogeneous
-        boundary values into the solution."""
+        boundary values into the (flat) solution."""
         mask_u, vals_u, mask_p, vals_p = problems.dirichlet_conditions(
             self.params, self.mesh, time, initial_step=True)
-        u = jnp.where(jnp.asarray(mask_u), jnp.asarray(vals_u, dtype=u.dtype), u)
-        phi = jnp.where(jnp.asarray(mask_p), jnp.asarray(vals_p, dtype=phi.dtype), phi)
+        u = jnp.where(jnp.asarray(mask_u.reshape(-1)),
+                      jnp.asarray(vals_u.reshape(-1), dtype=u.dtype), u)
+        phi = jnp.where(jnp.asarray(mask_p),
+                        jnp.asarray(vals_p, dtype=phi.dtype), phi)
         return u, phi
 
     def set_context(self, *, time, timestep, old_timestep, old_old_timestep,
@@ -302,17 +305,18 @@ class Simulation:
         if not flags.any():
             # balance may still induce work only if flags exist
             return False
-        fields = [np.asarray(state.u), np.asarray(state.phi),
-                  np.asarray(state.u_old), np.asarray(state.phi_old),
-                  np.asarray(state.phi_oold)]
+        dim = self.mesh.dim
+        fields = [np.asarray(state.u).reshape(-1, dim), np.asarray(state.phi),
+                  np.asarray(state.u_old).reshape(-1, dim),
+                  np.asarray(state.phi_old), np.asarray(state.phi_oold)]
         new_mesh, new_fields, nref = self.forest.refine_and_transfer(
             flags, self.mesh, fields)
         if nref == 0:
             return False
         self.mesh = new_mesh
-        state.u = jnp.asarray(new_fields[0])
+        state.u = jnp.asarray(new_fields[0].reshape(-1))
         state.phi = jnp.asarray(new_fields[1])
-        state.u_old = jnp.asarray(new_fields[2])
+        state.u_old = jnp.asarray(new_fields[2].reshape(-1))
         state.phi_old = jnp.asarray(new_fields[3])
         state.phi_oold = jnp.asarray(new_fields[4])
         self.setup_system()
@@ -323,7 +327,7 @@ class Simulation:
     def interpolate_initial_values(self, state: SolutionState):
         u0, phi0 = problems.initial_values(self.p, self.mesh,
                                            self.min_cell_diameter)
-        state.u = jnp.asarray(u0)
+        state.u = jnp.asarray(u0.reshape(-1))
         state.phi = jnp.asarray(phi0)
 
     def project_back_phase_field(self, state: SolutionState):
@@ -335,7 +339,7 @@ class Simulation:
         self.output_counter += 1
         name = (f"{self.p.output_filename}"
                 f"{self.output_counter:05d}.vtu")
-        point_data = {"displacement": np.asarray(state.u),
+        point_data = {"displacement": np.asarray(state.u).reshape(-1, self.mesh.dim),
                       "phasefield": np.asarray(state.phi)}
         cell_data = {"level": self.mesh.cell_level.astype(float)}
         if self.p.test_case == "multiple het":
@@ -356,7 +360,7 @@ class Simulation:
         self.determine_mesh_dependent_parameters()
 
         n_v = self.mesh.n_vertices
-        zero_u = jnp.zeros((n_v, self.mesh.dim))
+        zero_u = jnp.zeros(n_v * self.mesh.dim)
         state = SolutionState(u=zero_u, phi=jnp.zeros(n_v), u_old=zero_u,
                               phi_old=jnp.zeros(n_v), phi_oold=jnp.zeros(n_v))
 
@@ -481,8 +485,8 @@ class Simulation:
 
                 self.project_back_phase_field(state)
                 con = self.sys.constraints(self.time)
-                state.u = hanging_interpolate(state.u, con)
-                state.phi = hanging_interpolate(state.phi, con)
+                state.u = hanging_interpolate_u(state.u, con)
+                state.phi = hanging_interpolate_p(state.phi, con)
 
                 if p.test_case != "sneddon":
                     if self.refine_mesh(state):
@@ -503,7 +507,7 @@ class Simulation:
             st.set_scientific("minimum cell diameter", 8)
 
             bulk, crack = qoi.compute_energy(
-                self.mesh, np.asarray(state.u), np.asarray(state.phi),
+                self.mesh, self._u_mat(state), np.asarray(state.phi),
                 self._energy_lam(), self._energy_mu(),
                 self.constant_k, self.alpha_eps, p.G_c)
             self.log(f"No {self.timestep_number} time {self.time} "
@@ -515,7 +519,7 @@ class Simulation:
 
             if p.test_case in ("miehe tension", "miehe shear",
                                "three point bending"):
-                load = qoi.compute_load(self.mesh, np.asarray(state.u),
+                load = qoi.compute_load(self.mesh, self._u_mat(state),
                                         self.sys.lam_cells, self.sys.mu_cells)
                 if p.test_case == "miehe tension":
                     st.add_value("Load y", float(load[1]))
@@ -528,7 +532,7 @@ class Simulation:
                 else:
                     st.add_value("Load P11", float(-load[1]))
                     st.set_scientific("Load P11", 8)
-                    ps = qoi.compute_point_stress(self.mesh, np.asarray(state.u))
+                    ps = qoi.compute_point_stress(self.mesh, self._u_mat(state))
                     self.log(f" PStress: {ps}  P11: {-load[1]}")
 
             self.output_results(state)
@@ -545,7 +549,7 @@ class Simulation:
 
             # ---- Sneddon stationarity (cracks.cc:4483-4560) ----
             if p.test_case == "sneddon" and finishing_timestep_loop < 1e-5:
-                tcv = qoi.compute_tcv(self.mesh, np.asarray(state.u),
+                tcv = qoi.compute_tcv(self.mesh, self._u_mat(state),
                                       np.asarray(state.phi))
                 ref = qoi.tcv_exact(self.mesh.dim, p.pressure(time=self.time),
                                     p.poisson_ratio_nu)
@@ -577,6 +581,9 @@ class Simulation:
         return state
 
     # ------------------------------------------------------------------
+    def _u_mat(self, state) -> np.ndarray:
+        return np.asarray(state.u).reshape(-1, self.mesh.dim)
+
     def _set_context(self):
         self.sys.set_context(
             time=self.time, timestep=self.timestep,
@@ -619,7 +626,7 @@ class Simulation:
                 # reference's 769 lines for tractability; full sweep via
                 # qoi.compute_cod on demand
                 x = -1.5 + i * dx
-                v = qoi.compute_cod(self.mesh, np.asarray(state.u),
+                v = qoi.compute_cod(self.mesh, self._u_mat(state),
                                     np.asarray(state.phi), x)
                 if v > -1e100:
                     f.write(f"{x} {v}\n")

@@ -1,13 +1,23 @@
 """The quasi-monolithic phase-field fracture element kernel.
 
 Replaces the reference's ``assemble_system`` cell loop
-(cracks.cc:2129-2498) with batched dense tensor math over
-``(n_cells, ...)`` arrays — the natural TPU formulation — and obtains
-the Newton system *matrix-free*: the reference's hand-assembled Jacobian
+(cracks.cc:2129-2498) with batched dense tensor math — and obtains the
+Newton system *matrix-free*: the reference's hand-assembled Jacobian
 (cracks.cc:2308-2389) is exactly the derivative of its residual form
 (cracks.cc:2393-2430), so the Jacobian action here is ``jax.jvp`` of the
 residual and the element matrices (for the direct solver path) are
-``jax.jacfwd`` of the per-cell residual.
+vmapped ``jax.jacfwd`` of the per-cell residual.
+
+TPU layout convention (this is load-bearing): TPU memory is tiled over
+the last two array dimensions (8x128 for f32), so any tensor whose
+trailing dimensions are small (like ``(cells, q, vertices, dim)``)
+inflates by up to 64x in HBM.  All large arrays here therefore keep the
+**cell axis last** — ``grads`` is ``(n_q, nvc, dim, n_cells)`` — and the
+solution vectors are **flat**: ``u`` is ``(n_v*dim,)`` with dof index
+``vertex*dim + component``, ``phi`` is ``(n_v,)``.  Per-quadrature
+scalars are ``(n_q, n_cells)``.  With this layout padding overhead is
+negligible and every contraction is a small constant matrix times a
+huge trailing axis — ideal for the MXU.
 
 Weak form being discretized (notation of Heister/Wheeler/Wick 2015):
 
@@ -37,17 +47,18 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..fem import element_tables
-from .spectral import full_stress, stress_split_2d
+from .spectral import stress_split_components
 
 ALPHA_BIOT = 0.0  # reference cracks.cc:1497
 
 
 class CellArrays(NamedTuple):
-    """Static per-mesh element data resident on device."""
+    """Static per-mesh element data resident on device (cell axis LAST)."""
 
-    c2v: jax.Array        # (n_c, nvc) int32 — cell -> vertex gather map
-    JxW: jax.Array        # (n_c, n_q)
-    grads: jax.Array      # (n_c, n_q, nvc, dim) real-space shape grads
+    gather_u: jax.Array   # (nvc*dim, n_c) int32 — flat u-dof gather map
+    gather_p: jax.Array   # (nvc, n_c) int32 — phi-dof gather map
+    JxW: jax.Array        # (n_q, n_c)
+    grads: jax.Array      # (n_q, nvc, dim, n_c) real-space shape grads
     shape_v: jax.Array    # (n_q, nvc)
     lam: jax.Array        # (n_c,) per-cell Lame lambda
     mu: jax.Array         # (n_c,) per-cell Lame mu
@@ -83,16 +94,6 @@ def _straight_through_clamp_below(x):
     return x + jax.lax.stop_gradient(jnp.maximum(0.0, x) - x)
 
 
-def _qpoint_fields(u_e, phi_e, pf_old_e, pf_oold_e, ca: CellArrays):
-    """Interpolate solution fields to quadrature points (batched)."""
-    grad_u = jnp.einsum("cad,cqae->cqde", u_e, ca.grads)
-    pf = jnp.einsum("qa,ca->cq", ca.shape_v, phi_e)
-    grad_pf = jnp.einsum("ca,cqad->cqd", phi_e, ca.grads)
-    pf_old = jnp.einsum("qa,ca->cq", ca.shape_v, pf_old_e)
-    pf_oold = jnp.einsum("qa,ca->cq", ca.shape_v, pf_oold_e)
-    return grad_u, pf, grad_pf, pf_old, pf_oold
-
-
 def _pf_extra(pf, pf_old, pf_oold, sc: Scalars):
     """Time-lagged extrapolated phase field (cracks.cc:2262-2277)."""
     extra = pf_oold + sc.theta * (pf_old - pf_oold)
@@ -100,21 +101,40 @@ def _pf_extra(pf, pf_old, pf_oold, sc: Scalars):
     return jnp.where(sc.use_old_pf > 0.5, pf_old, extra)
 
 
-@partial(jax.jit, static_argnames=("dim", "with_split", "monolithic"))
-def assemble_residual(u, phi, phi_old, phi_oold, ca: CellArrays, sc: Scalars,
-                      *, dim: int, with_split: bool, monolithic: bool):
-    """Global Newton right-hand side (the *negative* residual, matching the
-    reference's local_rhs sign convention, cracks.cc:2404/2423).
+def _full_stress_components(strain, lam, mu, dim):
+    """sigma = lam tr(E) I + 2 mu E on component dict; strain maps
+    (i,j)->(n_q, n_c) arrays for i<=j."""
+    tr = sum(strain[(d, d)] for d in range(dim))
+    sigma = {}
+    for i in range(dim):
+        for j in range(i, dim):
+            s = 2.0 * mu * strain[(i, j)]
+            if i == j:
+                s = s + lam * tr
+            sigma[(i, j)] = s
+    return sigma, tr
 
-    Returns (ru (n_v, dim), rp (n_v,)) — raw scatter-add, no constraints.
+
+def _residual_core(u, phi, phi_old, phi_oold, ca: CellArrays, sc: Scalars,
+                   *, dim: int, with_split: bool, monolithic: bool):
+    """Element residual in cell-last layout.
+
+    Returns (ru (n_v*dim,), rp (n_v,)) — raw scatter-add, no constraints.
     """
-    u_e = u[ca.c2v]
-    phi_e = phi[ca.c2v]
-    pf_old_e = phi_old[ca.c2v]
-    pf_oold_e = phi_oold[ca.c2v]
+    nvc = ca.gather_p.shape[0]
 
-    grad_u, pf, grad_pf, pf_old, pf_oold = _qpoint_fields(
-        u_e, phi_e, pf_old_e, pf_oold_e, ca)
+    u_e = u[ca.gather_u]                       # (nvc*dim, c)
+    u_e = u_e.reshape(nvc, dim, -1)            # (a, d, c)
+    phi_e = phi[ca.gather_p]                   # (a, c)
+    pf_old_e = phi_old[ca.gather_p]
+    pf_oold_e = phi_oold[ca.gather_p]
+
+    # fields at quadrature points — everything (q, ..., c)
+    grad_u = jnp.einsum("adc,qaec->qdec", u_e, ca.grads)
+    pf = jnp.einsum("qa,ac->qc", ca.shape_v, phi_e)
+    grad_pf = jnp.einsum("ac,qaec->qec", phi_e, ca.grads)
+    pf_old = jnp.einsum("qa,ac->qc", ca.shape_v, pf_old_e)
+    pf_oold = jnp.einsum("qa,ac->qc", ca.shape_v, pf_oold_e)
 
     if monolithic:
         pf = _straight_through_clamp_below(pf)
@@ -123,52 +143,83 @@ def assemble_residual(u, phi, phi_old, phi_oold, ca: CellArrays, sc: Scalars,
 
     pf_extra = _pf_extra(pf, pf_old, pf_oold, sc)
 
-    E = 0.5 * (grad_u + jnp.swapaxes(grad_u, -1, -2))
-    div_u = jnp.trace(grad_u, axis1=-2, axis2=-1)
+    # symmetric strain components (q, c)
+    strain = {}
+    for i in range(dim):
+        for j in range(i, dim):
+            strain[(i, j)] = 0.5 * (grad_u[:, i, j] + grad_u[:, j, i])
+    div_u = sum(grad_u[:, d, d] for d in range(dim))
 
-    lam_q = ca.lam[:, None]
-    mu_q = ca.mu[:, None]
+    lam_q = ca.lam[None, :]
+    mu_q = ca.mu[None, :]
     if with_split:
-        sp, sm = stress_split_2d(E, lam_q, mu_q)
+        assert dim == 2, "stress decomposition is 2d-only (like the reference)"
+        (spxx, spxy, spyy), (smxx, smxy, smyy) = stress_split_components(
+            strain[(0, 0)], strain[(0, 1)], strain[(1, 1)], lam_q, mu_q)
+        sp = {(0, 0): spxx, (0, 1): spxy, (1, 1): spyy}
+        sm = {(0, 0): smxx, (0, 1): smxy, (1, 1): smyy}
+        trE = strain[(0, 0)] + strain[(1, 1)]
     else:
-        sp = full_stress(E, lam_q, mu_q)
-        sm = jnp.zeros_like(sp)
+        sp, trE = _full_stress_components(strain, lam_q, mu_q, dim)
+        sm = {k: jnp.zeros_like(v) for k, v in sp.items()}
 
-    degr = (1.0 - sc.constant_k) * pf_extra**2 + sc.constant_k   # (c,q)
-    M = degr[..., None, None] * sp + sc.decompose_rhs * sm       # (c,q,d,e)
-    p_term = (ALPHA_BIOT - 1.0) * sc.pressure * pf_extra**2       # (c,q)
+    degr = (1.0 - sc.constant_k) * pf_extra**2 + sc.constant_k   # (q, c)
+    # M = degr * sigma+ + chi * sigma-  (components, symmetric)
+    M = {k: degr * sp[k] + sc.decompose_rhs * sm[k] for k in sp}
+    p_term = (ALPHA_BIOT - 1.0) * sc.pressure * pf_extra**2       # (q, c)
 
-    # displacement rows: -[ M : grad(v) - p_term div(v) ]
-    ru_e = -(jnp.einsum("cqde,cqae,cq->cad", M, ca.grads, ca.JxW)
-             - jnp.einsum("cq,cqad,cq->cad", p_term, ca.grads, ca.JxW))
+    # displacement rows: ru[a,d,c] = -sum_q (sum_e M[d,e] dN_a/dx_e
+    #                                        - p_term dN_a/dx_d) JxW
+    gw = ca.grads * ca.JxW[:, None, None, :]      # (q, a, e, c)
+    ru_e = []
+    for d in range(dim):
+        acc = 0.0
+        for e in range(dim):
+            key = (min(d, e), max(d, e))
+            acc = acc + jnp.einsum("qc,qac->ac", M[key], gw[:, :, e, :])
+        acc = acc - jnp.einsum("qc,qac->ac", p_term, gw[:, :, d, :])
+        ru_e.append(-acc)                          # (a, c)
+    ru_e = jnp.stack(ru_e, axis=1)                 # (a, d, c)
 
     # phase-field rows
-    sp_E = jnp.einsum("cqde,cqde->cq", sp, E)
+    sp_E = sum((1.0 if i == j else 2.0) * sp[(i, j)] * strain[(i, j)]
+               for i in range(dim) for j in range(i, dim))
     gap_plus = jnp.where(pf - pf_old < 0.0, 0.0, pf - pf_old)
-    S = (sc.gamma_dt * ca.inv_diam2[:, None] * gap_plus
+    S = (sc.gamma_dt * ca.inv_diam2[None, :] * gap_plus
          + (1.0 - sc.constant_k) * sp_E * pf
          - sc.G_c / sc.alpha_eps * (1.0 - pf)
-         - 2.0 * (ALPHA_BIOT - 1.0) * sc.pressure * pf * div_u)
-    rp_e = -(jnp.einsum("cq,qa,cq->ca", S, ca.shape_v, ca.JxW)
+         - 2.0 * (ALPHA_BIOT - 1.0) * sc.pressure * pf * div_u)   # (q, c)
+    SJ = S * ca.JxW                                               # (q, c)
+    rp_e = -(jnp.einsum("qc,qa->ac", SJ, ca.shape_v)
              + sc.G_c * sc.alpha_eps
-             * jnp.einsum("cqd,cqad,cq->ca", grad_pf, ca.grads, ca.JxW))
+             * jnp.einsum("qec,qaec->ac", grad_pf, gw))
 
-    n_v = u.shape[0]
-    ru = jnp.zeros((n_v, dim), dtype=u.dtype).at[ca.c2v].add(ru_e)
-    rp = jnp.zeros((n_v,), dtype=u.dtype).at[ca.c2v].add(rp_e)
+    n_ud = u.shape[0]
+    n_v = phi.shape[0]
+    ru = jnp.zeros(n_ud, dtype=u.dtype).at[ca.gather_u].add(
+        ru_e.reshape(nvc * dim, -1))
+    rp = jnp.zeros(n_v, dtype=u.dtype).at[ca.gather_p].add(rp_e)
     return ru, rp
+
+
+@partial(jax.jit, static_argnames=("dim", "with_split", "monolithic"))
+def assemble_residual(u, phi, phi_old, phi_oold, ca: CellArrays, sc: Scalars,
+                      *, dim: int, with_split: bool, monolithic: bool):
+    """Global Newton right-hand side (the *negative* residual, matching
+    the reference's local_rhs sign convention, cracks.cc:2404/2423)."""
+    return _residual_core(u, phi, phi_old, phi_oold, ca, sc, dim=dim,
+                          with_split=with_split, monolithic=monolithic)
 
 
 @partial(jax.jit, static_argnames=("dim", "with_split", "monolithic"))
 def jacobian_vector_product(u, phi, du, dphi, phi_old, phi_oold,
                             ca: CellArrays, sc: Scalars,
                             *, dim: int, with_split: bool, monolithic: bool):
-    """Action of the Newton system matrix J = -d(rhs)/d(u,phi) on (du, dphi).
-
-    Equals the reference's assembled matrix-vector product
+    """Action of the Newton system matrix J = -d(rhs)/d(u,phi) on
+    (du, dphi) — equals the reference's assembled matrix-vector product
     (cracks.cc:2308-2389) because that matrix is the exact derivative of
     the residual form (see module docstring)."""
-    f = lambda uu, pp: assemble_residual(
+    f = lambda uu, pp: _residual_core(
         uu, pp, phi_old, phi_oold, ca, sc,
         dim=dim, with_split=with_split, monolithic=monolithic)
     _, (dru, drp) = jax.jvp(f, (u, phi), (du, dphi))
@@ -178,15 +229,15 @@ def jacobian_vector_product(u, phi, du, dphi, phi_old, phi_oold,
 def _single_cell_residual(u_e, phi_e, pf_old_e, pf_oold_e, JxW, grads,
                           shape_v, lam, mu, inv_diam2, sc: Scalars,
                           *, dim, with_split, monolithic):
-    """Same physics for one cell (used under vmap/jacfwd for the element
-    matrices of the direct solver path)."""
-    ca1 = CellArrays(
-        c2v=None, JxW=JxW[None], grads=grads[None], shape_v=shape_v,
-        lam=lam[None], mu=mu[None], inv_diam2=inv_diam2[None])
-    u1 = u_e[None]
-    phi1 = phi_e[None]
-    grad_u, pf, grad_pf, pf_old, pf_oold = _qpoint_fields(
-        u1, phi1, pf_old_e[None], pf_oold_e[None], ca1)
+    """Same physics for one cell (small dense arrays; used under
+    vmap/jacfwd for the direct-solver element matrices).
+
+    u_e (nvc, dim); phi_e (nvc,); JxW (n_q,); grads (n_q, nvc, dim)."""
+    grad_u = jnp.einsum("ad,qae->qde", u_e, grads)
+    pf = shape_v @ phi_e
+    grad_pf = jnp.einsum("a,qae->qe", phi_e, grads)
+    pf_old = shape_v @ pf_old_e
+    pf_oold = shape_v @ pf_oold_e
     if monolithic:
         pf = _straight_through_clamp_below(pf)
         pf_old = jnp.maximum(0.0, pf_old)
@@ -195,36 +246,43 @@ def _single_cell_residual(u_e, phi_e, pf_old_e, pf_oold_e, JxW, grads,
     E = 0.5 * (grad_u + jnp.swapaxes(grad_u, -1, -2))
     div_u = jnp.trace(grad_u, axis1=-2, axis2=-1)
     if with_split:
-        sp, sm = stress_split_2d(E, ca1.lam[:, None], ca1.mu[:, None])
+        (spxx, spxy, spyy), (smxx, smxy, smyy) = stress_split_components(
+            E[:, 0, 0], E[:, 0, 1], E[:, 1, 1], lam, mu)
+        sp = jnp.stack([jnp.stack([spxx, spxy], -1),
+                        jnp.stack([spxy, spyy], -1)], -2)
+        sm = jnp.stack([jnp.stack([smxx, smxy], -1),
+                        jnp.stack([smxy, smyy], -1)], -2)
     else:
-        sp = full_stress(E, ca1.lam[:, None], ca1.mu[:, None])
+        trE = jnp.trace(E, axis1=-2, axis2=-1)
+        eye = jnp.eye(dim, dtype=u_e.dtype)
+        sp = lam * trE[:, None, None] * eye + 2.0 * mu * E
         sm = jnp.zeros_like(sp)
     degr = (1.0 - sc.constant_k) * pf_extra**2 + sc.constant_k
-    M = degr[..., None, None] * sp + sc.decompose_rhs * sm
+    M = degr[:, None, None] * sp + sc.decompose_rhs * sm
     p_term = (ALPHA_BIOT - 1.0) * sc.pressure * pf_extra**2
-    ru_e = -(jnp.einsum("cqde,cqae,cq->cad", M, ca1.grads, ca1.JxW)
-             - jnp.einsum("cq,cqad,cq->cad", p_term, ca1.grads, ca1.JxW))
-    sp_E = jnp.einsum("cqde,cqde->cq", sp, E)
+    ru_e = -(jnp.einsum("qde,qae,q->ad", M, grads, JxW)
+             - jnp.einsum("q,qad,q->ad", p_term, grads, JxW))
+    sp_E = jnp.einsum("qde,qde->q", sp, E)
     gap_plus = jnp.where(pf - pf_old < 0.0, 0.0, pf - pf_old)
-    S = (sc.gamma_dt * ca1.inv_diam2[:, None] * gap_plus
+    S = (sc.gamma_dt * inv_diam2 * gap_plus
          + (1.0 - sc.constant_k) * sp_E * pf
          - sc.G_c / sc.alpha_eps * (1.0 - pf)
          - 2.0 * (ALPHA_BIOT - 1.0) * sc.pressure * pf * div_u)
-    rp_e = -(jnp.einsum("cq,qa,cq->ca", S, ca1.shape_v, ca1.JxW)
+    rp_e = -(jnp.einsum("q,qa,q->a", S, shape_v, JxW)
              + sc.G_c * sc.alpha_eps
-             * jnp.einsum("cqd,cqad,cq->ca", grad_pf, ca1.grads, ca1.JxW))
-    return ru_e[0], rp_e[0]
+             * jnp.einsum("qe,qae,q->a", grad_pf, grads, JxW))
+    return ru_e, rp_e
 
 
 @partial(jax.jit, static_argnames=("dim", "with_split", "monolithic"))
 def element_matrices(u, phi, phi_old, phi_oold, ca: CellArrays, sc: Scalars,
                      *, dim: int, with_split: bool, monolithic: bool):
-    """Dense element Jacobians J_loc = -d(rhs_loc)/d(x_loc) for every cell.
+    """Dense element Jacobians J_loc = -d(rhs_loc)/d(x_loc) per cell.
 
-    Local dof ordering: [u(vertex0,d0..), ..., u(vertexN,..), phi(vertex0..)]
-    i.e. u dofs (nvc*dim, vertex-major) followed by nvc phi dofs.
-    Returns (n_cells, ndl, ndl)."""
-    nvc = ca.c2v.shape[1]
+    Local dof ordering: u dofs vertex-major (a*dim+d), then nvc phi dofs.
+    Returns (n_cells, ndl, ndl) — cell axis FIRST here (consumed by the
+    host sparse factorization, not kept in HBM)."""
+    nvc = ca.gather_p.shape[0]
     ndl = nvc * (dim + 1)
 
     def local(x, pf_old_e, pf_oold_e, JxW, grads, lam, mu, invd2):
@@ -236,11 +294,11 @@ def element_matrices(u, phi, phi_old, phi_oold, ca: CellArrays, sc: Scalars,
             dim=dim, with_split=with_split, monolithic=monolithic)
         return -jnp.concatenate([ru.reshape(-1), rp])
 
-    x_all = jnp.concatenate(
-        [u[ca.c2v].reshape(-1, nvc * dim), phi[ca.c2v]], axis=1)
-    jac = jax.vmap(jax.jacfwd(local))(
-        x_all, phi_old[ca.c2v], phi_oold[ca.c2v], ca.JxW, ca.grads,
-        ca.lam, ca.mu, ca.inv_diam2)
+    x_all = jnp.concatenate([u[ca.gather_u], phi[ca.gather_p]], axis=0).T
+    jac = jax.vmap(jax.jacfwd(local),
+                   in_axes=(0, 1, 1, 1, 3, 0, 0, 0))(
+        x_all, phi_old[ca.gather_p], phi_oold[ca.gather_p], ca.JxW,
+        ca.grads, ca.lam, ca.mu, ca.inv_diam2)
     assert jac.shape[-1] == ndl
     return jac
 
@@ -249,32 +307,38 @@ def element_matrices(u, phi, phi_old, phi_oold, ca: CellArrays, sc: Scalars,
 def jacobian_diagonal(u, phi, phi_old, phi_oold, ca: CellArrays, sc: Scalars,
                       *, dim: int, with_split: bool, monolithic: bool):
     """Global diagonal of J (for Jacobi preconditioning of CG)."""
-    nvc = ca.c2v.shape[1]
+    nvc = ca.gather_p.shape[0]
     jac = element_matrices(u, phi, phi_old, phi_oold, ca, sc,
                            dim=dim, with_split=with_split,
                            monolithic=monolithic)
-    d_loc = jnp.diagonal(jac, axis1=-2, axis2=-1)   # (n_c, ndl)
-    du_loc = d_loc[:, : nvc * dim].reshape(-1, nvc, dim)
-    dp_loc = d_loc[:, nvc * dim:]
-    n_v = u.shape[0]
-    du = jnp.zeros((n_v, dim), dtype=u.dtype).at[ca.c2v].add(du_loc)
-    dp = jnp.zeros((n_v,), dtype=u.dtype).at[ca.c2v].add(dp_loc)
+    d_loc = jnp.diagonal(jac, axis1=-2, axis2=-1).T   # (ndl, n_c)
+    du = jnp.zeros(u.shape[0], dtype=u.dtype).at[ca.gather_u].add(
+        d_loc[: nvc * dim])
+    dp = jnp.zeros(phi.shape[0], dtype=u.dtype).at[ca.gather_p].add(
+        d_loc[nvc * dim:])
     return du, dp
 
 
 def build_cell_arrays(mesh, lam, mu, dtype=jnp.float64) -> CellArrays:
-    """Precompute the per-cell geometry tables for a MeshData."""
+    """Precompute the per-cell geometry tables for a MeshData (host)."""
     from ..fem import cell_geometry
 
     t = element_tables(mesh.dim)
-    JxW, grads = cell_geometry(mesh.cell_coords, t)
+    JxW, grads = cell_geometry(mesh.cell_coords, t)   # (c, q), (c, q, a, d)
+    dim = mesh.dim
     n_c = mesh.n_cells
+    nvc = mesh.cell2vert.shape[1]
+    c2v = mesh.cell2vert.astype(np.int64)
+    gather_u = (c2v[:, :, None] * dim
+                + np.arange(dim)[None, None, :]).reshape(n_c, nvc * dim).T
+    gather_p = c2v.T
     lam_arr = np.broadcast_to(np.asarray(lam, dtype=np.float64), (n_c,))
     mu_arr = np.broadcast_to(np.asarray(mu, dtype=np.float64), (n_c,))
     return CellArrays(
-        c2v=jnp.asarray(mesh.cell2vert, dtype=jnp.int32),
-        JxW=jnp.asarray(JxW, dtype=dtype),
-        grads=jnp.asarray(grads, dtype=dtype),
+        gather_u=jnp.asarray(gather_u, dtype=jnp.int32),
+        gather_p=jnp.asarray(gather_p, dtype=jnp.int32),
+        JxW=jnp.asarray(JxW.T, dtype=dtype),
+        grads=jnp.asarray(np.transpose(grads, (1, 2, 3, 0)), dtype=dtype),
         shape_v=jnp.asarray(t.shape_v, dtype=dtype),
         lam=jnp.asarray(lam_arr, dtype=dtype),
         mu=jnp.asarray(mu_arr, dtype=dtype),

@@ -70,6 +70,46 @@ def eigen_2x2_sym(E):
     return lam1, lam2, P
 
 
+def stress_split_components(exx, exy, eyy, lam_coeff, mu_coeff):
+    """Component form of the Miehe split (TPU-friendly: operates on
+    arbitrary-shaped scalar component arrays, no small trailing matrix
+    dims).  Returns ((sp_xx, sp_xy, sp_yy), (sm_xx, sm_xy, sm_yy)).
+
+    See stress_split_2d for the math and differentiation notes."""
+    a, b, c = exx, exy, eyy
+    trE = a + c
+    sq = jnp.sqrt((a - c) * (a - c) + 4.0 * b * b)   # l1 - l2 >= 0
+    l1 = 0.5 * (trE + sq)
+    l2 = 0.5 * (trE - sq)
+    l1p = jnp.where(l1 < 0.0, 0.0, l1)
+    l2p = jnp.where(l2 < 0.0, 0.0, l2)
+
+    scale = jnp.abs(a) + jnp.abs(c) + 2.0 * jnp.abs(b)
+    degenerate = sq <= 1e-12 * scale
+    inv_sq = 1.0 / jnp.where(degenerate, 1.0, sq)
+
+    # spectral projections P1 = (E - l2 I)/sq, P2 = (l1 I - E)/sq
+    ep_xx_g = (l1p * (a - l2) + l2p * (l1 - a)) * inv_sq
+    ep_yy_g = (l1p * (c - l2) + l2p * (l1 - c)) * inv_sq
+    ep_xy_g = (l1p - l2p) * b * inv_sq
+    # isotropic limit: E+ = E if tr >= 0 else 0
+    pos = trE >= 0.0
+    ep_xx = jnp.where(degenerate, jnp.where(pos, a, 0.0), ep_xx_g)
+    ep_yy = jnp.where(degenerate, jnp.where(pos, c, 0.0), ep_yy_g)
+    ep_xy = jnp.where(degenerate, jnp.where(pos, b, 0.0), ep_xy_g)
+
+    trp = jnp.where(trE < 0.0, 0.0, trE)
+    lam = lam_coeff
+    mu = mu_coeff
+    sp_xx = lam * trp + 2.0 * mu * ep_xx
+    sp_yy = lam * trp + 2.0 * mu * ep_yy
+    sp_xy = 2.0 * mu * ep_xy
+    sm_xx = lam * (trE - trp) + 2.0 * mu * (a - ep_xx)
+    sm_yy = lam * (trE - trp) + 2.0 * mu * (c - ep_yy)
+    sm_xy = 2.0 * mu * (b - ep_xy)
+    return (sp_xx, sp_xy, sp_yy), (sm_xx, sm_xy, sm_yy)
+
+
 def stress_split_2d(E, lam_coeff, mu_coeff):
     """Miehe spectral split of the linear-elastic stress into tensile and
     compressive parts (cracks.cc:1959-1970):

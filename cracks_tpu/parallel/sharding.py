@@ -6,10 +6,11 @@ ghosted vectors (SURVEY.md section 2c/2d): the one parallelism axis of a
 phase-field FEM code is *spatial* data parallelism over mesh cells.
 
 Mapping (round 1 — replicated DoF vectors):
- * element arrays (cell2vert, JxW, grads, material fields) are sharded
-   along the cell axis across the device mesh — cells are pre-sorted in
-   Morton order per root, so contiguous shards are spatially compact
-   (the analogue of a p4est space-filling-curve partition);
+ * element arrays (gather maps, JxW, grads, material fields) are sharded
+   along the cell axis (the LAST axis, per the TPU layout convention in
+   ops/physics.py) across the device mesh — cells are pre-sorted in
+   space-filling-curve order per root, so contiguous shards are
+   spatially compact (the analogue of a p4est partition);
  * solution vectors are replicated; the scatter-add of per-shard
    residuals is combined with a `psum` over the ICI — the analogue of
    Trilinos compress(VectorOperation::add) (cracks.cc:2470-2475);
@@ -33,6 +34,19 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops import physics
 
+# partition specs for CellArrays (cell axis LAST except gather maps,
+# which are (stencil, n_c) -> also last)
+_CA_SPEC = physics.CellArrays(
+    gather_u=P(None, "cells"),
+    gather_p=P(None, "cells"),
+    JxW=P(None, "cells"),
+    grads=P(None, None, None, "cells"),
+    shape_v=P(),
+    lam=P("cells"),
+    mu=P("cells"),
+    inv_diam2=P("cells"),
+)
+
 
 def make_device_mesh(n_devices: int | None = None) -> Mesh:
     devs = jax.devices()
@@ -44,18 +58,19 @@ def make_device_mesh(n_devices: int | None = None) -> Mesh:
 def pad_cell_arrays(ca: physics.CellArrays, n_devices: int) -> physics.CellArrays:
     """Pad the cell axis to a multiple of n_devices with zero-weight
     dummy cells (JxW = 0 ⇒ zero contribution; gather indices point at
-    vertex 0, harmless)."""
-    n_c = ca.c2v.shape[0]
+    dof 0, harmless)."""
+    n_c = ca.gather_p.shape[-1]
     pad = (-n_c) % n_devices
     if pad == 0:
         return ca
+
     def padz(a, fill=0):
-        if a is None or a.ndim == 0:
-            return a
-        widths = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
+        widths = [(0, 0)] * (a.ndim - 1) + [(0, pad)]
         return jnp.pad(a, widths, constant_values=fill)
+
     return physics.CellArrays(
-        c2v=padz(ca.c2v),
+        gather_u=padz(ca.gather_u),
+        gather_p=padz(ca.gather_p),
         JxW=padz(ca.JxW),           # zero JxW kills the dummy cells
         grads=padz(ca.grads),
         shape_v=ca.shape_v,         # replicated table
@@ -69,29 +84,18 @@ def shard_cell_arrays(ca: physics.CellArrays, mesh: Mesh) -> physics.CellArrays:
     """Place each cell-axis leaf on the device mesh."""
     n_dev = mesh.devices.size
     ca = pad_cell_arrays(ca, n_dev)
-    shard = NamedSharding(mesh, P("cells"))
-    repl = NamedSharding(mesh, P())
-    return physics.CellArrays(
-        c2v=jax.device_put(ca.c2v, shard),
-        JxW=jax.device_put(ca.JxW, shard),
-        grads=jax.device_put(ca.grads, shard),
-        shape_v=jax.device_put(ca.shape_v, repl),
-        lam=jax.device_put(ca.lam, shard),
-        mu=jax.device_put(ca.mu, shard),
-        inv_diam2=jax.device_put(ca.inv_diam2, shard),
-    )
+    return physics.CellArrays(*(
+        jax.device_put(arr, NamedSharding(mesh, spec))
+        for arr, spec in zip(ca, _CA_SPEC)))
 
 
 def sharded_residual_fn(mesh: Mesh, *, dim: int, with_split: bool,
                         monolithic: bool):
     """Build the SPMD residual: each shard assembles its cells' raw
     residual into a full-size vector; psum over ICI combines them."""
-    spec_ca = physics.CellArrays(
-        c2v=P("cells"), JxW=P("cells"), grads=P("cells"), shape_v=P(),
-        lam=P("cells"), mu=P("cells"), inv_diam2=P("cells"))
 
     @partial(jax.shard_map, mesh=mesh,
-             in_specs=(P(), P(), P(), P(), spec_ca, P()),
+             in_specs=(P(), P(), P(), P(), _CA_SPEC, P()),
              out_specs=(P(), P()))
     def fn(u, phi, phi_old, phi_oold, ca, sc):
         ru, rp = physics.assemble_residual(
@@ -128,7 +132,8 @@ def make_multichip_newton_step(mesh: Mesh, con, hang_mask, diag_mass,
         -> (u_new, phi_new, residual_norm, n_active)
     """
     from ..ops.constraints import (condense_residual, expand_update,
-                                   hanging_interpolate, hanging_transpose)
+                                   hanging_interpolate_p,
+                                   hanging_transpose_p)
 
     res_fn = sharded_residual_fn(mesh, dim=dim, with_split=with_split,
                                  monolithic=monolithic)
@@ -162,11 +167,11 @@ def make_multichip_newton_step(mesh: Mesh, con, hang_mask, diag_mass,
     def step(u, phi, phi_old, phi_oold, ca, sc):
         # residual + active-set indicator (cracks.cc:2822-2899)
         ru, rp = res_fn(u, phi, phi_old, phi_oold, ca, sc)
-        tot_p = hanging_transpose(rp, con)
+        tot_p = hanging_transpose_p(rp, con)
         indicator = tot_p / diag_mass + c_weight * (phi - phi_old)
         active = (indicator > 0.0) & ~hang_mask
         phi = jnp.where(active, phi_old, phi)
-        phi = hanging_interpolate(phi, con)
+        phi = hanging_interpolate_p(phi, con)
 
         ru, rp = res_fn(u, phi, phi_old, phi_oold, ca, sc)
         rhs_u, rhs_p = condense_residual(ru, rp, con, active)

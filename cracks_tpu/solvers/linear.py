@@ -14,14 +14,17 @@ Two paths, mirroring the reference's solve() (cracks.cc:2744-2777):
    cracks.cc:2353-2366), so instead of GMRES on the monolithic system
    (cracks.cc:2762-2771) we solve A_uu du = b_u and then
    A_pp dpf = b_p - B du with two preconditioned CG iterations — both
-   blocks are symmetric positive definite on the free dofs.  Dot
+   blocks are symmetric positive (semi)definite on the free dofs.  Dot
    products reduce over ICI when sharded (parallel/).
+
+Solution layout is flat (u: (n_v*dim,), phi: (n_v,)); the global dof
+numbering of the monolithic system is [u dofs | phi dofs + n_v*dim].
 """
 
 from __future__ import annotations
 
 from functools import partial
-from typing import Callable, NamedTuple
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
@@ -37,57 +40,45 @@ from ..ops.constraints import (Constraints, condense_residual, expand_update)
 # direct path
 # ---------------------------------------------------------------------------
 
-def _global_dof_ids(c2v: np.ndarray, dim: int, n_v: int) -> np.ndarray:
-    """Per-cell global dof ids in the local ordering of
-    ops.physics.element_matrices: u dofs vertex-major, then pf dofs.
-    Global numbering: u dof = vertex*dim + comp; pf dof = n_v*dim + vertex."""
-    n_c, nvc = c2v.shape
-    u_ids = (c2v[:, :, None] * dim + np.arange(dim)[None, None, :]).reshape(n_c, -1)
-    p_ids = n_v * dim + c2v
-    return np.concatenate([u_ids, p_ids], axis=1)
+def _global_dof_ids(ca: physics.CellArrays, n_ud: int) -> np.ndarray:
+    """Per-cell global dof ids in the local ordering of element_matrices:
+    u dofs vertex-major, then phi dofs offset by n_ud."""
+    gu = np.asarray(ca.gather_u).T          # (c, nvc*dim)
+    gp = np.asarray(ca.gather_p).T + n_ud   # (c, nvc)
+    return np.concatenate([gu, gp], axis=1)
 
 
 def _constraint_matrix(con: Constraints, active: np.ndarray, n_v: int,
-                       dim: int) -> sp.csr_matrix:
+                       dim: int):
     """C such that x_full = C x_free resolves hanging nodes and zeroes
     Dirichlet/active dofs (homogeneous constraints)."""
-    n_dofs = n_v * (dim + 1)
-    hang_child = np.asarray(con.hang_child)
-    hang_masters = np.asarray(con.hang_masters)
-    hang_weights = np.asarray(con.hang_weights)
-    dir_u = np.asarray(con.dirichlet_u)
-    dir_p = np.asarray(con.dirichlet_p)
+    n_ud = n_v * dim
+    n_dofs = n_ud + n_v
+    child_u = np.asarray(con.hang_child_u)
+    masters_u = np.asarray(con.hang_masters_u)
+    weights_u = np.asarray(con.hang_weights_u)
+    child_p = np.asarray(con.hang_child_p) + n_ud
+    masters_p = np.asarray(con.hang_masters_p) + n_ud
+    weights_p = np.asarray(con.hang_weights)
 
     constrained = np.zeros(n_dofs, dtype=bool)
-    for d in range(dim):
-        constrained[np.where(dir_u[:, d])[0] * dim + d] = True
-    constrained[n_v * dim + np.where(dir_p | active)[0]] = True
-    hang_mask = np.zeros(n_v, dtype=bool)
-    hang_mask[hang_child] = True
-    for d in range(dim):
-        constrained[np.where(hang_mask)[0] * dim + d] = True
-    constrained[n_v * dim + np.where(hang_mask)[0]] = True
+    constrained[:n_ud] = np.asarray(con.dirichlet_u)
+    constrained[n_ud:] = np.asarray(con.dirichlet_p) | np.asarray(active)
+    constrained[child_u] = True
+    constrained[child_p] = True
 
     rows, cols, vals = [], [], []
     free = np.where(~constrained)[0]
     rows.append(free)
     cols.append(free)
     vals.append(np.ones(len(free)))
-    # hanging rows (only where not otherwise constrained to zero);
-    # note: deal.II's merge makes hanging constraints win over Dirichlet
-    # lines for the child (cracks.cc:1640, 2910), so children interpolate
-    # from masters; masters that are Dirichlet carry zero updates anyway.
-    for d in range(dim):
-        child_dofs = hang_child * dim + d
-        for m in range(hang_masters.shape[1]):
-            rows.append(child_dofs)
-            cols.append(hang_masters[:, m] * dim + d)
-            vals.append(hang_weights[:, m])
-    child_p = n_v * dim + hang_child
-    for m in range(hang_masters.shape[1]):
+    for m in range(masters_u.shape[1]):
+        rows.append(child_u)
+        cols.append(masters_u[:, m])
+        vals.append(weights_u[:, m])
         rows.append(child_p)
-        cols.append(n_v * dim + hang_masters[:, m])
-        vals.append(hang_weights[:, m])
+        cols.append(masters_p[:, m])
+        vals.append(weights_p[:, m])
 
     C = sp.coo_matrix(
         (np.concatenate(vals), (np.concatenate(rows), np.concatenate(cols))),
@@ -110,16 +101,17 @@ def solve_direct(u, phi, phi_old, phi_oold, ca: physics.CellArrays,
                  monolithic: bool):
     """Exact sparse solve of the reduced Newton system.
 
-    Returns (du (n_v, dim), dp (n_v,)) with constraints distributed."""
-    n_v = u.shape[0]
+    Returns (du (n_v*dim,), dp (n_v,)) with constraints distributed."""
+    n_ud = u.shape[0]
+    n_v = phi.shape[0]
     jac = np.asarray(physics.element_matrices(
         u, phi, phi_old, phi_oold, ca, sc,
         dim=dim, with_split=with_split, monolithic=monolithic))
-    gids = _global_dof_ids(np.asarray(ca.c2v), dim, n_v)
+    gids = _global_dof_ids(ca, n_ud)
     n_c, ndl = gids.shape
     rows = np.repeat(gids, ndl, axis=1).ravel()
     cols = np.tile(gids, (1, ndl)).ravel()
-    n_dofs = n_v * (dim + 1)
+    n_dofs = n_ud + n_v
     A = sp.coo_matrix((jac.ravel(), (rows, cols)),
                       shape=(n_dofs, n_dofs)).tocsr()
 
@@ -129,25 +121,16 @@ def solve_direct(u, phi, phi_old, phi_oold, ca: physics.CellArrays,
     A_red[cidx, cidx] = 1.0
     A_red = A_red.tocsc()
 
-    b = np.concatenate([np.asarray(rhs_u).ravel(), np.asarray(rhs_p)])
-    # rhs is already condensed+zeroed; but reduce again for safety:
+    b = np.concatenate([np.asarray(rhs_u), np.asarray(rhs_p)])
     x = spla.splu(A_red).solve(b)
     x = C @ x
-    du = x[: n_v * dim].reshape(n_v, dim)
-    dp = x[n_v * dim:]
-    return jnp.asarray(du), jnp.asarray(dp), 1
+    return (jnp.asarray(x[:n_ud], dtype=u.dtype),
+            jnp.asarray(x[n_ud:], dtype=u.dtype), 1)
 
 
 # ---------------------------------------------------------------------------
 # matrix-free CG path
 # ---------------------------------------------------------------------------
-
-class CGResult(NamedTuple):
-    x_u: jax.Array
-    x_p: jax.Array
-    iters_u: jax.Array
-    iters_p: jax.Array
-
 
 def _pcg(op: Callable, b, Minv, rtol, atol, maxiter):
     """Preconditioned conjugate gradients on a pytree vector space."""
@@ -167,12 +150,13 @@ def _pcg(op: Callable, b, Minv, rtol, atol, maxiter):
     def body(state):
         x, r, z, p, rz, k = state
         Ap = op(p)
-        alpha = rz / dot(p, Ap)
+        denom = dot(p, Ap)
+        alpha = jnp.where(denom != 0, rz / denom, 0.0)
         x = jax.tree_util.tree_map(lambda xx, pp: xx + alpha * pp, x, p)
         r = jax.tree_util.tree_map(lambda rr, aa: rr - alpha * aa, r, Ap)
         z = jax.tree_util.tree_map(lambda m, rr: m * rr, Minv, r)
         rz_new = dot(r, z)
-        beta = rz_new / rz
+        beta = jnp.where(rz != 0, rz_new / rz, 0.0)
         p = jax.tree_util.tree_map(lambda zz, pp: zz + beta * pp, z, p)
         return x, r, z, p, rz_new, k + 1
 
@@ -203,9 +187,8 @@ def solve_cg_block(u, phi, phi_old, phi_oold, ca: physics.CellArrays,
             dim=dim, with_split=with_split, monolithic=monolithic)
         return condense_residual(ju, jp, con, active)
 
-    hang = jnp.zeros(phi.shape[0], dtype=bool).at[con.hang_child].set(True)
-    free_u = ~(con.dirichlet_u | hang[:, None])
-    free_p = ~(con.dirichlet_p | hang | active)
+    free_u = ~(con.dirichlet_u | con.hang_mask_u)
+    free_p = ~(con.dirichlet_p | con.hang_mask_p | active)
     Minv_u = jnp.where(free_u & (jnp.abs(diag_u) > 0), 1.0 / diag_u, 1.0)
     Minv_p = jnp.where(free_p & (jnp.abs(diag_p) > 0), 1.0 / diag_p, 1.0)
 

@@ -19,7 +19,8 @@ import numpy as np
 
 from ..ops import physics
 from ..ops.constraints import (Constraints, condense_residual,
-                               hanging_interpolate, hanging_transpose,
+                               hanging_interpolate_p, hanging_interpolate_u,
+                               hanging_transpose_p, hanging_transpose_u,
                                residual_linfty, residual_norm)
 from . import linear
 
@@ -109,21 +110,20 @@ def newton_active_set(sys, state, time: float, verbose: bool = True):
 
     # set_initial_bc + hanging distribute (cracks.cc:2787-2788)
     u, phi = sys.apply_initial_bc(state.u, state.phi, time)
-    u = hanging_interpolate(u, con)
-    phi = hanging_interpolate(phi, con)
+    u = hanging_interpolate_u(u, con)
+    phi = hanging_interpolate_p(phi, con)
 
     def assemble(u_, phi_, active_):
         ru, rp = physics.assemble_residual(
             u_, phi_, state.phi_old, state.phi_oold, sys.ca, sys.scalars,
             dim=sys.dim, with_split=with_split, monolithic=False)
-        tot_u = hanging_transpose(ru, con)
-        tot_p = hanging_transpose(rp, con)
+        tot_p = hanging_transpose_p(rp, con)
         pde_u, pde_p = condense_residual(ru, rp, con, active_)
-        return (tot_u, tot_p), (pde_u, pde_p)
+        return tot_p, (pde_u, pde_p)
 
     n_v = sys.mesh.n_vertices
     active = jnp.zeros(n_v, dtype=bool)
-    (tot_u, tot_p), (pde_u, pde_p) = assemble(u, phi, active)
+    tot_p, (pde_u, pde_p) = assemble(u, phi, active)
     newton_residual = float(residual_norm(pde_u, pde_p))
     old_newton_residual = newton_residual
     log.print_line(0, "", "", f"{newton_residual:.6e}", verbose=verbose)
@@ -149,8 +149,8 @@ def newton_active_set(sys, state, time: float, verbose: bool = True):
         n_cycling_dofs = int(jnp.sum(active & cycling))
         # pin active dofs to the old value (cracks.cc:2880)
         phi = jnp.where(active, state.phi_old, phi)
-        phi = hanging_interpolate(phi, con)
-        u = hanging_interpolate(u, con)
+        phi = hanging_interpolate_p(phi, con)
+        u = hanging_interpolate_u(u, con)
 
         # cycle detection: count dofs that LEFT the set (cracks.cc:2901-2907)
         left = np.asarray(active_old & ~active)
@@ -160,7 +160,7 @@ def newton_active_set(sys, state, time: float, verbose: bool = True):
         num_changed = int(jnp.any(active != active_old))
 
         # ---- assemble + solve (cracks.cc:2917-2920) ----
-        (tot_u, tot_p), (pde_u, pde_p) = assemble(u, phi, active)
+        tot_p, (pde_u, pde_p) = assemble(u, phi, active)
         du, dp, n_lin = _solve(sys, u, phi, state.phi_old, state.phi_oold,
                                con, active, pde_u, pde_p, with_split)
         sum_lin_it += n_lin
@@ -171,7 +171,7 @@ def newton_active_set(sys, state, time: float, verbose: bool = True):
         for line_search_step in range(p.max_no_line_search_steps):
             u = u + du
             phi = phi + dp
-            (tot_u, tot_p), (pde_u, pde_p) = assemble(u, phi, active)
+            tot_p, (pde_u, pde_p) = assemble(u, phi, active)
             new_newton_residual = float(residual_norm(pde_u, pde_p))
             if new_newton_residual < newton_residual:
                 break

@@ -27,7 +27,7 @@ def _setup_hanging_problem():
     n_v = mesh.n_vertices
     ca = physics.build_cell_arrays(mesh, 1.5, 0.8)
     rng = np.random.default_rng(0)
-    u = jnp.asarray(1e-2 * rng.normal(size=(n_v, 2)))
+    u = jnp.asarray(1e-2 * rng.normal(size=n_v * 2))
     phi = jnp.asarray(np.clip(0.6 + 0.3 * rng.normal(size=n_v), 0, 1))
     phi_old = jnp.asarray(np.clip(np.asarray(phi) + 0.05 * rng.normal(size=n_v), 0, 1))
     sc = physics.make_scalars(pressure=1e-3, constant_k=1e-8, alpha_eps=0.3,
@@ -56,8 +56,9 @@ def test_direct_update_satisfies_hanging_constraints(with_split):
                                     active, rhs_u, rhs_p, **kw)
     # hanging children must interpolate from masters; constrained masters
     # contribute zero (chain resolution, AffineConstraints::close())
-    du_np, dp_np = np.asarray(du), np.asarray(dp)
-    dir_u = np.asarray(con.dirichlet_u)
+    du_np = np.asarray(du).reshape(-1, 2)
+    dp_np = np.asarray(dp)
+    dir_u = np.asarray(con.dirichlet_u).reshape(-1, 2)
     act = np.asarray(active)
     m = mesh.hang_masters
     w = mesh.hang_weights

@@ -20,7 +20,7 @@ def _setup(n=3, dim=2, seed=0):
     ca = physics.build_cell_arrays(mesh, 1.5, 0.8)
     rng = np.random.default_rng(seed)
     n_v = mesh.n_vertices
-    u = jnp.asarray(0.01 * rng.normal(size=(n_v, dim)))
+    u = jnp.asarray(0.01 * rng.normal(size=n_v * dim))
     phi = jnp.asarray(np.clip(0.5 + 0.3 * rng.normal(size=n_v), 0, 1))
     phi_old = jnp.asarray(np.clip(phi + 0.05 * rng.normal(size=n_v), 0, 1))
     phi_oold = jnp.asarray(np.clip(phi_old + 0.05 * rng.normal(size=n_v), 0, 1))
@@ -47,16 +47,15 @@ def test_jvp_matches_element_matrices(with_split):
         u, phi, du, dphi, phi_old, phi_oold, ca, sc, **kw)
 
     # reference multiply through the element matrices
-    c2v = np.asarray(ca.c2v)
-    nvc = c2v.shape[1]
-    x_loc = np.concatenate(
-        [np.asarray(du)[c2v].reshape(-1, nvc * dim), np.asarray(dphi)[c2v]],
-        axis=1)
+    gu = np.asarray(ca.gather_u).T   # (c, nvc*dim)
+    gp = np.asarray(ca.gather_p).T   # (c, nvc)
+    x_loc = np.concatenate([np.asarray(du)[gu], np.asarray(dphi)[gp]], axis=1)
     y_loc = np.einsum("cij,cj->ci", jac, x_loc)
     ju_ref = np.zeros_like(np.asarray(u))
     jp_ref = np.zeros_like(np.asarray(phi))
-    np.add.at(ju_ref, c2v, y_loc[:, : nvc * dim].reshape(-1, nvc, dim))
-    np.add.at(jp_ref, c2v, y_loc[:, nvc * dim:])
+    nvd = gu.shape[1]
+    np.add.at(ju_ref, gu, y_loc[:, :nvd])
+    np.add.at(jp_ref, gp, y_loc[:, nvd:])
     assert np.allclose(np.asarray(ju), ju_ref, rtol=1e-10, atol=1e-12)
     assert np.allclose(np.asarray(jp), jp_ref, rtol=1e-10, atol=1e-12)
 
@@ -67,13 +66,14 @@ def test_jacobian_diagonal_matches_element_matrices():
     jac = np.asarray(physics.element_matrices(
         u, phi, phi_old, phi_oold, ca, sc, **kw))
     du, dp = physics.jacobian_diagonal(u, phi, phi_old, phi_oold, ca, sc, **kw)
-    c2v = np.asarray(ca.c2v)
-    nvc = c2v.shape[1]
+    gu = np.asarray(ca.gather_u).T
+    gp = np.asarray(ca.gather_p).T
     d_loc = np.einsum("cii->ci", jac)
     du_ref = np.zeros_like(np.asarray(u))
     dp_ref = np.zeros_like(np.asarray(phi))
-    np.add.at(du_ref, c2v, d_loc[:, : nvc * 2].reshape(-1, nvc, 2))
-    np.add.at(dp_ref, c2v, d_loc[:, nvc * 2:])
+    nvd = gu.shape[1]
+    np.add.at(du_ref, gu, d_loc[:, :nvd])
+    np.add.at(dp_ref, gp, d_loc[:, nvd:])
     assert np.allclose(np.asarray(du), du_ref, rtol=1e-10)
     assert np.allclose(np.asarray(dp), dp_ref, rtol=1e-10)
 

@@ -20,7 +20,7 @@ def problem():
     ca = physics.build_cell_arrays(mesh, 1.5, 0.8)
     rng = np.random.default_rng(0)
     n_v = mesh.n_vertices
-    u = jnp.asarray(0.01 * rng.normal(size=(n_v, 2)))
+    u = jnp.asarray(0.01 * rng.normal(size=n_v * 2))
     phi = jnp.asarray(np.clip(0.5 + 0.3 * rng.normal(size=n_v), 0, 1))
     phi_old = phi
     phi_oold = phi
@@ -72,3 +72,20 @@ def test_padding_preserves_result(problem):
     ru, rp = physics.assemble_residual(u, phi, phi_old, phi_oold, ca_pad, sc, **kw)
     assert np.allclose(np.asarray(ru), np.asarray(ru0), rtol=1e-14)
     assert np.allclose(np.asarray(rp), np.asarray(rp0), rtol=1e-14)
+
+
+def test_driver_multidevice_matches_single(tmp_path):
+    """Full driver run with n_devices=2 (GSPMD) must match single-device."""
+    from cracks_tpu.config import load_parameters
+    from cracks_tpu.driver import Simulation
+
+    p = load_parameters("/root/reference/tests/sneddon_2d_1.prm",
+                        output_dir="", max_no_timesteps=1,
+                        n_local_pre_refine=0, n_refinement_cycles=0,
+                        linear_solver="cg")
+    s1 = Simulation(p, verbose=False); s1.run()
+    s2 = Simulation(p.replace(n_devices=2), verbose=False); s2.run()
+    b1 = s1.statistics.data["Bulk Energy"]
+    b2 = s2.statistics.data["Bulk Energy"]
+    # reduction order differs across partitionings; values agree to ~1e-9
+    assert b1 == pytest.approx(b2, rel=1e-6)
