@@ -319,6 +319,66 @@ def jacobian_diagonal(u, phi, phi_old, phi_oold, ca: CellArrays, sc: Scalars,
     return du, dp
 
 
+@partial(jax.jit, static_argnames=("dim", "monolithic"))
+def jacobi_diagonal_approx(u, phi, phi_old, phi_oold, ca: CellArrays,
+                           sc: Scalars, *, dim: int, monolithic: bool):
+    """Cheap analytic Jacobi diagonal for preconditioning the CG path.
+
+    Uses the *undecomposed* elastic operator for the displacement block
+    (the split only redistributes stiffness between the +/- parts, so
+    this stays spectrally equivalent) and the exact reaction/diffusion
+    terms for the phase-field block.  Computed entirely in the cell-last
+    layout — unlike element_matrices, no vmapped jacfwd, so it scales to
+    millions of cells on TPU."""
+    nvc = ca.gather_p.shape[0]
+    phi_e = phi[ca.gather_p]
+    pf = jnp.einsum("qa,ac->qc", ca.shape_v, phi_e)
+    pf_old = jnp.einsum("qa,ac->qc", ca.shape_v, phi_old[ca.gather_p])
+    pf_oold = jnp.einsum("qa,ac->qc", ca.shape_v, phi_oold[ca.gather_p])
+    if monolithic:
+        pf = jnp.maximum(0.0, pf)
+        pf_old = jnp.maximum(0.0, pf_old)
+        pf_oold = jnp.maximum(0.0, pf_oold)
+    pf_extra = _pf_extra(pf, pf_old, pf_oold, sc)
+    degr = (1.0 - sc.constant_k) * pf_extra**2 + sc.constant_k   # (q, c)
+
+    u_e = u[ca.gather_u].reshape(nvc, dim, -1)
+    grad_u = jnp.einsum("adc,qaec->qdec", u_e, ca.grads)
+    div_u = sum(grad_u[:, d, d] for d in range(dim))
+    strain = {}
+    for i in range(dim):
+        for j in range(i, dim):
+            strain[(i, j)] = 0.5 * (grad_u[:, i, j] + grad_u[:, j, i])
+    sp, _tr = _full_stress_components(strain, ca.lam[None, :],
+                                      ca.mu[None, :], dim)
+    sp_E = sum((1.0 if i == j else 2.0) * sp[(i, j)] * strain[(i, j)]
+               for i in range(dim) for j in range(i, dim))
+
+    gw = ca.grads * ca.JxW[:, None, None, :]          # (q, a, e, c)
+    g2 = jnp.einsum("qaec,qaec->qac", ca.grads, gw)   # sum_e (dN)^2 * JxW
+    # u diagonal per (a, d): (lam+mu) (dN_d)^2 + mu |grad N|^2, degraded
+    du_ad = []
+    for d in range(dim):
+        gd2 = ca.grads[:, :, d, :] * gw[:, :, d, :]
+        term = ((ca.lam + ca.mu)[None, None, :] * gd2
+                + ca.mu[None, None, :] * g2)
+        du_ad.append(jnp.einsum("qc,qac->ac", degr, term))
+    du_e = jnp.stack(du_ad, axis=1).reshape(nvc * dim, -1)
+
+    gap_pos = jnp.where(pf - pf_old < 0.0, 0.0, 1.0)
+    react = ((1.0 - sc.constant_k) * sp_E
+             + sc.G_c / sc.alpha_eps
+             + sc.gamma_dt * ca.inv_diam2[None, :] * gap_pos
+             - 2.0 * (ALPHA_BIOT - 1.0) * sc.pressure * div_u)  # (q, c)
+    NN = ca.shape_v * ca.shape_v                       # (q, a)
+    dp_e = (jnp.einsum("qc,qa,qc->ac", react, NN, ca.JxW)
+            + sc.G_c * sc.alpha_eps * jnp.einsum("qac->ac", g2))
+
+    du = jnp.zeros(u.shape[0], dtype=u.dtype).at[ca.gather_u].add(du_e)
+    dp = jnp.zeros(phi.shape[0], dtype=u.dtype).at[ca.gather_p].add(dp_e)
+    return du, dp
+
+
 def build_cell_arrays(mesh, lam, mu, dtype=jnp.float64) -> CellArrays:
     """Precompute the per-cell geometry tables for a MeshData (host)."""
     from ..fem import cell_geometry

@@ -80,9 +80,9 @@ def _solve(sys, u, phi, phi_old, phi_oold, con, active, rhs_u, rhs_p,
                 monolithic=sys.monolithic)
         except RuntimeError:
             pass  # exactly singular factor -> CG below
-    diag_u, diag_p = physics.jacobian_diagonal(
+    diag_u, diag_p = physics.jacobi_diagonal_approx(
         u, phi, phi_old, phi_oold, sys.ca, sys.scalars,
-        dim=sys.dim, with_split=with_split, monolithic=sys.monolithic)
+        dim=sys.dim, monolithic=sys.monolithic)
     du, dp, iters = linear.solve_cg_block(
         u, phi, phi_old, phi_oold, sys.ca, sys.scalars, con, active,
         rhs_u, rhs_p, diag_u, diag_p, p.cg_rtol, 1e-300,
