@@ -155,6 +155,8 @@ class Parameters:
     # CG relative tolerance (matrix-free path)
     cg_rtol: float = 1.0e-12
     cg_maxiter: int = 2000
+    # CG preconditioner: 'jacobi' or 'gmg' (geometric multigrid)
+    preconditioner: str = 'jacobi'
     # number of devices to shard element arrays over (1 = single chip)
     n_devices: int = 1
     # write VTU visualization output every step
@@ -247,6 +249,7 @@ _PRM_MAP = {
     ("TPU parameters", "Dtype"): ("dtype", str),
     ("TPU parameters", "CG relative tolerance"): ("cg_rtol", float),
     ("TPU parameters", "CG maximum iterations"): ("cg_maxiter", int),
+    ("TPU parameters", "Preconditioner"): ("preconditioner", str),
     ("TPU parameters", "Number of devices"): ("n_devices", int),
     ("TPU parameters", "Write VTU"): ("write_vtu", _to_bool),
 }

@@ -79,6 +79,8 @@ class System:
         mask_u, _, mask_p, _ = problems.dirichlet_conditions(
             params, mesh, 0.0, initial_step=False)
         self._con = make_constraints(mesh, mask_u, mask_p, dtype=dtype)
+        # GMG hierarchy (attached by the driver when preconditioner=gmg)
+        self.hierarchy = None
         # context (set by the driver before each nonlinear solve)
         self.scalars: physics.Scalars = None
         self.with_split: bool = False
@@ -192,6 +194,21 @@ class Simulation:
         self.sys = System(self.p, self.mesh, self.bitmap)
         self.sys.constant_k = self.constant_k
         self.sys.alpha_eps = self.alpha_eps
+        if self.p.preconditioner == "gmg":
+            from .solvers import multigrid
+            p = self.p
+
+            def lam_fn(m):
+                return problems.cell_lame_fields(p, m, self.bitmap)
+
+            def dirichlet_fn(m):
+                mu_, _, mp_, _ = problems.dirichlet_conditions(
+                    p, m, 0.0, initial_step=False)
+                return mu_, mp_
+
+            self.sys.hierarchy = multigrid.build_hierarchy(
+                self.forest, self.mesh, p, lam_fn, dirichlet_fn,
+                dtype=self.sys.dtype)
         self.log(f"\nDoFs: {self.mesh.n_vertices * self.mesh.dim} solid + "
                  f"{self.mesh.n_vertices} phase = {self.mesh.n_dofs}")
 
@@ -578,6 +595,7 @@ class Simulation:
 
         self.log(f"\nFinishing time step loop: {finishing_timestep_loop}")
         self.log(f"Total wall time: {walltime.time() - t_start:.2f}s")
+        self._last_state = state
         return state
 
     # ------------------------------------------------------------------

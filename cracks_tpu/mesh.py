@@ -524,6 +524,48 @@ class Forest:
         )
 
     # ------------------------------------------------------------------
+    # multigrid hierarchy support
+    # ------------------------------------------------------------------
+    def truncated(self, lmax: int) -> "Forest":
+        """A new forest with every cell coarsened to level <= lmax
+        (the 'global coarsening' hierarchy for geometric multigrid).
+        Truncation of a 2:1-balanced forest stays balanced."""
+        f2 = Forest(self.coarse)
+        lvl = np.minimum(self.level, lmax)
+        W = (self.S >> lvl).astype(np.int64)
+        anchor = (self.anchor // W[:, None]) * W[:, None]
+        mort = _morton(anchor, self.dim)
+        combo = np.stack([self.root, lvl.astype(np.int64), mort], axis=1)
+        _, idx = np.unique(combo, axis=0, return_index=True)
+        f2.root = self.root[idx]
+        f2.level = lvl[idx].astype(np.int32)
+        f2.anchor = anchor[idx]
+        f2._sort_cells()
+        return f2
+
+    def halfgrid_stencils(self, mesh: MeshData):
+        """Interpolation stencils at all half-grid points of the active
+        cells: (keys (n*3^dim,), masters (n*3^dim, 2^dim) vertex ids,
+        weights (n*3^dim, 2^dim))."""
+        dim = self.dim
+        W = (self.S >> self.level).astype(np.int64)
+        offs = np.array(
+            np.meshgrid(*([np.array([0, 1, 2])] * dim), indexing="ij")
+        ).reshape(dim, -1).T
+        pts = (self.anchor[:, None, :]
+               + offs[None, :, :] * (W[:, None, None] // 2)).reshape(-1, dim)
+        roots_rep = np.repeat(self.root, len(offs))
+        keys = self.canonical_keys(roots_rep, pts)
+        w1d = np.array([[1.0, 0.0], [0.5, 0.5], [0.0, 1.0]])
+        wts = np.ones((len(offs), 2 ** dim))
+        for c in range(2 ** dim):
+            for d in range(dim):
+                wts[:, c] *= w1d[offs[:, d], (c >> d) & 1]
+        masters = np.repeat(mesh.cell2vert, len(offs), axis=0)
+        weights = np.tile(wts, (self.n_cells, 1))
+        return keys, masters, weights
+
+    # ------------------------------------------------------------------
     # solution transfer
     # ------------------------------------------------------------------
     def refine_and_transfer(self, flags: np.ndarray, old_mesh: MeshData,
@@ -596,3 +638,39 @@ def forest_from_mesh_info(coarse: CoarseMesh, n_global_refine: int = 0) -> tuple
     forest = Forest(coarse)
     forest.refine_global(n_global_refine)
     return forest, forest.extract()
+
+
+def interpolation_stencil(coarse_forest: Forest, coarse_mesh: MeshData,
+                          fine_mesh: MeshData):
+    """Q1 interpolation stencil from a coarse mesh to a finer refinement
+    of it: for every fine vertex, up to 2^dim coarse master vertices and
+    weights.  Coarse vertices map to themselves (identity stencil).
+
+    Returns (masters (n_fine_v, 2^dim) int32, weights (n_fine_v, 2^dim)).
+    """
+    dim = coarse_mesh.dim
+    nvc = 2 ** dim
+    n_f = fine_mesh.n_vertices
+    masters = np.zeros((n_f, nvc), dtype=np.int64)
+    weights = np.zeros((n_f, nvc))
+
+    ckeys = coarse_mesh.vertex_keys
+    pos = np.searchsorted(ckeys, fine_mesh.vertex_keys)
+    pos_c = np.minimum(pos, len(ckeys) - 1)
+    is_coarse = ckeys[pos_c] == fine_mesh.vertex_keys
+    masters[is_coarse, 0] = pos_c[is_coarse]
+    weights[is_coarse, 0] = 1.0
+
+    need = ~is_coarse
+    if need.any():
+        skeys, smasters, sweights = coarse_forest.halfgrid_stencils(coarse_mesh)
+        uk, uidx = np.unique(skeys, return_index=True)
+        spos = np.searchsorted(uk, fine_mesh.vertex_keys[need])
+        spos_c = np.minimum(spos, len(uk) - 1)
+        found = uk[spos_c] == fine_mesh.vertex_keys[need]
+        if not found.all():
+            raise RuntimeError("fine mesh is not a refinement of the coarse")
+        sel = uidx[spos_c]
+        masters[need] = smasters[sel]
+        weights[need] = sweights[sel]
+    return masters.astype(np.int32), weights

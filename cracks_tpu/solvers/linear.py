@@ -165,6 +165,175 @@ def _pcg(op: Callable, b, Minv, rtol, atol, maxiter):
     return x, k
 
 
+def _level_block_ops(u, phi, phi_old, phi_oold, ca, con, active, sc,
+                     *, dim, with_split, monolithic):
+    """(op_u, op_p, Dinv_u, Dinv_p) for one mesh level: condensed
+    Jacobian block actions + Jacobi inverses on the free dofs."""
+    zero_p = jnp.zeros_like(phi)
+    zero_u = jnp.zeros_like(u)
+
+    def jv(du, dp):
+        eu, ep = expand_update(du, dp, con, active)
+        ju, jp = physics.jacobian_vector_product(
+            u, phi, eu, ep, phi_old, phi_oold, ca, sc,
+            dim=dim, with_split=with_split, monolithic=monolithic)
+        return condense_residual(ju, jp, con, active)
+
+    op_u = lambda x: jv(x, zero_p)[0]
+    op_p = lambda x: jv(zero_u, x)[1]
+    diag_u, diag_p = physics.jacobi_diagonal_approx(
+        u, phi, phi_old, phi_oold, ca, sc, dim=dim, monolithic=monolithic)
+    free_u = ~(con.dirichlet_u | con.hang_mask_u)
+    free_p = ~(con.dirichlet_p | con.hang_mask_p | active)
+    Dinv_u = jnp.where(free_u & (jnp.abs(diag_u) > 0), 1.0 / diag_u, 1.0)
+    Dinv_p = jnp.where(free_p & (jnp.abs(diag_p) > 0), 1.0 / diag_p, 1.0)
+    zero_mask_u = ~free_u
+    zero_mask_p = ~free_p
+    return jv, op_u, op_p, Dinv_u, Dinv_p, zero_mask_u, zero_mask_p
+
+
+@partial(jax.jit, static_argnames=("dim", "with_split", "monolithic",
+                                   "maxiter", "degree"))
+def solve_cg_gmg(u, phi, phi_old, phi_oold, ca: physics.CellArrays,
+                 sc: physics.Scalars, con: Constraints, active,
+                 rhs_u, rhs_p, hierarchy, rtol, atol,
+                 *, dim: int, with_split: bool, monolithic: bool,
+                 maxiter: int, degree: int = 3):
+    """Block-triangular solve with geometric-multigrid-preconditioned CG
+    (the Trilinos AMG replacement; see solvers/multigrid.py)."""
+    from .multigrid import (GMGBlock, _power_lambda_max, make_vcycle)
+
+    jv, op_u_f, op_p_f, Dinv_u_f, Dinv_p_f, zmu_f, zmp_f = _level_block_ops(
+        u, phi, phi_old, phi_oold, ca, con, active, sc,
+        dim=dim, with_split=with_split, monolithic=monolithic)
+
+    # level states: restrict phi/u down the hierarchy by full weighting
+    # (injection misrepresents the crack's degraded coefficient on coarse
+    # levels and stalls the coarse-grid correction); active sets by
+    # injection (a boolean property of the fine dofs)
+    from .multigrid import _restrict
+    n_lvls = len(hierarchy.levels)
+    state_chain = []
+    fu, fp, fpo, fpoo = u, phi, phi_old, phi_oold
+    masters_chain = [*(l.masters_p for l in hierarchy.levels[1:]),
+                     hierarchy.masters_p]
+    weights_chain = [*(l.weights_p for l in hierarchy.levels[1:]),
+                     hierarchy.weights_p]
+    masters_chain_u = [*(l.masters_u for l in hierarchy.levels[1:]),
+                       hierarchy.masters_u]
+    weights_chain_u = [*(l.weights_u for l in hierarchy.levels[1:]),
+                       hierarchy.weights_u]
+    for i in range(n_lvls - 1, -1, -1):
+        lvl = hierarchy.levels[i]
+        n_c = lvl.inject_p.shape[0]
+        n_cu = lvl.inject_u.shape[0]
+        mp, wp = masters_chain[i], weights_chain[i]
+        mu_, wu_ = masters_chain_u[i], weights_chain_u[i]
+        norm_p = _restrict(jnp.ones(mp.shape[0], dtype=fp.dtype), mp, wp, n_c)
+        norm_u = _restrict(jnp.ones(mu_.shape[0], dtype=fu.dtype), mu_, wu_, n_cu)
+        fu = _restrict(fu, mu_, wu_, n_cu) / norm_u
+        fp = _restrict(fp, mp, wp, n_c) / norm_p
+        fpo = _restrict(fpo, mp, wp, n_c) / norm_p
+        fpoo = _restrict(fpoo, mp, wp, n_c) / norm_p
+        state_chain.insert(0, (fu, fp, fpo, fpoo))
+
+    ops_u, ops_p, dinv_u, dinv_p = [], [], [], []
+    lam_u, lam_p = [], []
+    zm_u_list, zm_p_list = [], []
+    masters_u, weights_u, masters_p, weights_p = [None], [None], [None], [None]
+    n_ud_list, n_p_list = [], []
+    for i, lvl in enumerate(hierarchy.levels):
+        ul, pl, pol, pool = state_chain[i]
+        actl = active[lvl.inject_p]
+        _, opu, opp, diu, dip, zmu, zmp = _level_block_ops(
+            ul, pl, pol, pool, lvl.ca, lvl.con, actl, sc,
+            dim=dim, with_split=with_split, monolithic=monolithic)
+
+        def wrap(op, zm):
+            return lambda x: jnp.where(zm, 0.0, op(jnp.where(zm, 0.0, x)))
+
+        ops_u.append(wrap(opu, zmu))
+        ops_p.append(wrap(opp, zmp))
+        dinv_u.append(diu)
+        dinv_p.append(dip)
+        zm_u_list.append(zmu)
+        zm_p_list.append(zmp)
+        lam_u.append(_power_lambda_max(ops_u[-1], diu, jnp.ones_like(ul)))
+        lam_p.append(_power_lambda_max(ops_p[-1], dip, jnp.ones_like(pl)))
+        n_ud_list.append(lvl.inject_u.shape[0])
+        n_p_list.append(lvl.inject_p.shape[0])
+        if i > 0:
+            masters_u.append(lvl.masters_u)
+            weights_u.append(lvl.weights_u)
+            masters_p.append(lvl.masters_p)
+            weights_p.append(lvl.weights_p)
+
+    # finest level
+    ops_u.append(lambda x: jnp.where(zmu_f, 0.0, op_u_f(jnp.where(zmu_f, 0.0, x))))
+    ops_p.append(lambda x: jnp.where(zmp_f, 0.0, op_p_f(jnp.where(zmp_f, 0.0, x))))
+    dinv_u.append(Dinv_u_f)
+    dinv_p.append(Dinv_p_f)
+    lam_u.append(_power_lambda_max(ops_u[-1], Dinv_u_f, jnp.ones_like(u)))
+    lam_p.append(_power_lambda_max(ops_p[-1], Dinv_p_f, jnp.ones_like(phi)))
+    masters_u.append(hierarchy.masters_u)
+    weights_u.append(hierarchy.weights_u)
+    masters_p.append(hierarchy.masters_p)
+    weights_p.append(hierarchy.weights_p)
+    n_ud_list.append(u.shape[0])
+    n_p_list.append(phi.shape[0])
+    zm_u_list.append(zmu_f)
+    zm_p_list.append(zmp_f)
+
+    block_u = GMGBlock(ops=tuple(ops_u), Dinvs=tuple(dinv_u),
+                       lam_maxes=tuple(lam_u), masters=tuple(masters_u),
+                       weights=tuple(weights_u), n_dofs=tuple(n_ud_list),
+                       zmasks=tuple(zm_u_list))
+    block_p = GMGBlock(ops=tuple(ops_p), Dinvs=tuple(dinv_p),
+                       lam_maxes=tuple(lam_p), masters=tuple(masters_p),
+                       weights=tuple(weights_p), n_dofs=tuple(n_p_list),
+                       zmasks=tuple(zm_p_list))
+    M_u = make_vcycle(block_u, degree=degree)
+    M_p = make_vcycle(block_p, degree=degree)
+
+    du, it_u = _pcg_M(ops_u[-1], rhs_u, M_u, rtol, atol, maxiter)
+    _, b_coupled = jv(du, jnp.zeros_like(phi))
+    rhs_p2 = rhs_p - b_coupled
+    dp, it_p = _pcg_M(ops_p[-1], rhs_p2, M_p, rtol, atol, maxiter)
+
+    du, dp = expand_update(du, dp, con, active)
+    return du, dp, it_u + it_p
+
+
+def _pcg_M(op, b, M, rtol, atol, maxiter):
+    """PCG with a general (linear, SPD) preconditioner application M."""
+    x0 = jnp.zeros_like(b)
+    r0 = b
+    z0 = M(r0)
+    bnorm = jnp.sqrt(jnp.vdot(b, b).real)
+    tol2 = jnp.maximum(rtol * bnorm, atol) ** 2
+
+    def cond(state):
+        x, r, z, p, rz, k = state
+        return (jnp.vdot(r, r).real > tol2) & (k < maxiter)
+
+    def body(state):
+        x, r, z, p, rz, k = state
+        Ap = op(p)
+        denom = jnp.vdot(p, Ap)
+        alpha = jnp.where(denom != 0, rz / denom, 0.0)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = M(r)
+        rz_new = jnp.vdot(r, z)
+        beta = jnp.where(rz != 0, rz_new / rz, 0.0)
+        p = z + beta * p
+        return x, r, z, p, rz_new, k + 1
+
+    state = (x0, r0, z0, z0, jnp.vdot(r0, z0), jnp.asarray(0))
+    x, r, z, p, rz, k = jax.lax.while_loop(cond, body, state)
+    return x, k
+
+
 @partial(jax.jit, static_argnames=("dim", "with_split", "monolithic",
                                    "maxiter"))
 def solve_cg_block(u, phi, phi_old, phi_oold, ca: physics.CellArrays,

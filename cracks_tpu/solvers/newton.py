@@ -80,6 +80,13 @@ def _solve(sys, u, phi, phi_old, phi_oold, con, active, rhs_u, rhs_p,
                 monolithic=sys.monolithic)
         except RuntimeError:
             pass  # exactly singular factor -> CG below
+    if getattr(sys, "hierarchy", None) is not None:
+        du, dp, iters = linear.solve_cg_gmg(
+            u, phi, phi_old, phi_oold, sys.ca, sys.scalars, con, active,
+            rhs_u, rhs_p, sys.hierarchy, p.cg_rtol, 1e-300,
+            dim=sys.dim, with_split=with_split, monolithic=sys.monolithic,
+            maxiter=p.cg_maxiter)
+        return du, dp, int(iters)
     diag_u, diag_p = physics.jacobi_diagonal_approx(
         u, phi, phi_old, phi_oold, sys.ca, sys.scalars,
         dim=sys.dim, monolithic=sys.monolithic)
