@@ -15,7 +15,7 @@ vector-valued kernel), scaled linearly in DoFs.
 
 Environment knobs:
   BENCH_REFINE   global refinements of the 10x10 root grid
-                 (default 5 -> 102400 cells, 309k DoFs)
+                 (default 4 -> 25600 cells, 78k DoFs)
   BENCH_STEPS    timed load steps (default 2)
   BENCH_DTYPE    float64 (default) or float32
   BENCH_PRECOND  jacobi (default) or gmg
@@ -43,11 +43,11 @@ def _make_params(refine, dtype, precond, n_steps):
         n_global_pre_refine=refine, n_local_pre_refine=0,
         n_refinement_cycles=0, max_no_timesteps=n_steps - 1,
         output_dir="", linear_solver="cg", preconditioner=precond,
-        cg_rtol=1e-8, cg_maxiter=6000, dtype=dtype)
+        cg_rtol=1e-8, cg_maxiter=3000, dtype=dtype)
 
 
 def main():
-    refine = int(os.environ.get("BENCH_REFINE", "5"))
+    refine = int(os.environ.get("BENCH_REFINE", "4"))
     n_steps = int(os.environ.get("BENCH_STEPS", "2"))
     dtype = os.environ.get("BENCH_DTYPE", "float64")
     precond = os.environ.get("BENCH_PRECOND", "jacobi")

@@ -28,6 +28,7 @@ from .ops import physics
 from .ops.constraints import (Constraints, hanging_interpolate_p,
                               hanging_interpolate_u, make_constraints)
 from .output import PvdWriter, write_vtu
+from .profiling import Timer, memory_stats
 from .solvers import newton
 from .solvers.newton import NoConvergence
 from .statistics import Statistics
@@ -151,6 +152,7 @@ class Simulation:
         self.p = params
         self.verbose = verbose
         self.statistics = Statistics()
+        self.timer = Timer()
         self.coarse = _setup_coarse_mesh(params)
         self.forest = Forest(self.coarse)
         self.forest.refine_global(params.n_global_pre_refine)
@@ -427,6 +429,7 @@ class Simulation:
 
         # ---- timestep loop ----
         while True:
+            step_t0 = walltime.time()
             if self.timestep_number > p.switch_timestep and p.switch_timestep > 0:
                 self.timestep = p.timestep_size_2
 
@@ -562,6 +565,8 @@ class Simulation:
             if p.test_case == "sneddon":
                 self.log(f"Timestep difference linfty: {finishing_timestep_loop}")
 
+            self.timer.wall["Time step loop"] += walltime.time() - step_t0
+            self.timer.calls["Time step loop"] += 1
             self.timestep_number += 1
 
             # ---- Sneddon stationarity (cracks.cc:4483-4560) ----
@@ -594,6 +599,9 @@ class Simulation:
                 break
 
         self.log(f"\nFinishing time step loop: {finishing_timestep_loop}")
+        if self.verbose:
+            print(self.timer.summary())
+            print(memory_stats())
         self.log(f"Total wall time: {walltime.time() - t_start:.2f}s")
         self._last_state = state
         return state
