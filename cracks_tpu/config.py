@@ -155,6 +155,8 @@ class Parameters:
     # CG relative tolerance (matrix-free path)
     cg_rtol: float = 1.0e-12
     cg_maxiter: int = 2000
+    # CG steps per device call (bounded executions for flaky workers)
+    cg_chunk: int = 100
     # CG preconditioner: 'jacobi' or 'gmg' (geometric multigrid)
     preconditioner: str = 'jacobi'
     # number of devices to shard element arrays over (1 = single chip)
@@ -250,6 +252,7 @@ _PRM_MAP = {
     ("TPU parameters", "CG relative tolerance"): ("cg_rtol", float),
     ("TPU parameters", "CG maximum iterations"): ("cg_maxiter", int),
     ("TPU parameters", "Preconditioner"): ("preconditioner", str),
+    ("TPU parameters", "CG chunk"): ("cg_chunk", int),
     ("TPU parameters", "Number of devices"): ("n_devices", int),
     ("TPU parameters", "Write VTU"): ("write_vtu", _to_bool),
 }

@@ -165,6 +165,93 @@ def _pcg(op: Callable, b, Minv, rtol, atol, maxiter):
     return x, k
 
 
+@partial(jax.jit, static_argnames=("dim", "with_split", "monolithic",
+                                   "which", "chunk"))
+def _cg_block_chunk(u, phi, phi_old, phi_oold, ca, sc, con, active,
+                    Minv, state, tol2, *, dim, with_split, monolithic,
+                    which: str, chunk: int):
+    """Advance the PCG iteration on one block by at most `chunk` steps,
+    carrying the exact Krylov state across calls.  Bounding each device
+    call keeps individual XLA executions short (long-running programs
+    can hit runtime limits on shared/preemptible workers) without any
+    mathematical restart."""
+    zero_p = jnp.zeros_like(phi)
+    zero_u = jnp.zeros_like(u)
+
+    def jv(du, dp):
+        eu, ep = expand_update(du, dp, con, active)
+        ju, jp = physics.jacobian_vector_product(
+            u, phi, eu, ep, phi_old, phi_oold, ca, sc,
+            dim=dim, with_split=with_split, monolithic=monolithic)
+        return condense_residual(ju, jp, con, active)
+
+    op = ((lambda x: jv(x, zero_p)[0]) if which == "u"
+          else (lambda x: jv(zero_u, x)[1]))
+
+    def cond(s):
+        x, r, z, pvec, rz, k, k0 = s
+        return (jnp.vdot(r, r).real > tol2) & (k - k0 < chunk)
+
+    def body(s):
+        x, r, z, pvec, rz, k, k0 = s
+        Ap = op(pvec)
+        denom = jnp.vdot(pvec, Ap)
+        alpha = jnp.where(denom != 0, rz / denom, 0.0)
+        x = x + alpha * pvec
+        r = r - alpha * Ap
+        z = Minv * r
+        rz_new = jnp.vdot(r, z)
+        beta = jnp.where(rz != 0, rz_new / rz, 0.0)
+        pvec = z + beta * pvec
+        return x, r, z, pvec, rz_new, k + 1, k0
+
+    x, r, z, pvec, rz, k = state
+    s = jax.lax.while_loop(cond, body, (x, r, z, pvec, rz, k, k))
+    return s[:6], jnp.vdot(s[1], s[1]).real
+
+
+def solve_cg_block_chunked(u, phi, phi_old, phi_oold, ca, sc, con, active,
+                           rhs_u, rhs_p, diag_u, diag_p, rtol, atol,
+                           *, dim, with_split, monolithic, maxiter,
+                           chunk: int = 100):
+    """Host-chunked variant of solve_cg_block: identical math (exact
+    Krylov state carry), each device call bounded by `chunk` CG steps."""
+    free_u = ~(con.dirichlet_u | con.hang_mask_u)
+    free_p = ~(con.dirichlet_p | con.hang_mask_p | active)
+    Minv_u = jnp.where(free_u & (jnp.abs(diag_u) > 0), 1.0 / diag_u, 1.0)
+    Minv_p = jnp.where(free_p & (jnp.abs(diag_p) > 0), 1.0 / diag_p, 1.0)
+    kw = dict(dim=dim, with_split=with_split, monolithic=monolithic)
+
+    def run_block(which, b, Minv):
+        bnorm2 = float(jnp.vdot(b, b).real)
+        tol2 = max(rtol * np.sqrt(bnorm2), atol) ** 2
+        z0 = Minv * b
+        state = (jnp.zeros_like(b), b, z0, z0, jnp.vdot(b, z0),
+                 jnp.asarray(0))
+        rr = bnorm2
+        while rr > tol2 and int(state[5]) < maxiter:
+            state, rr_dev = _cg_block_chunk(
+                u, phi, phi_old, phi_oold, ca, sc, con, active, Minv,
+                state, tol2, which=which, chunk=chunk, **kw)
+            rr = float(rr_dev)
+        return state[0], int(state[5])
+
+    du, it_u = run_block("u", rhs_u, Minv_u)
+
+    # coupling: b_p' = rhs_p - B du
+    def jv_full(duu, dpp):
+        eu, ep = expand_update(duu, dpp, con, active)
+        ju, jp = physics.jacobian_vector_product(
+            u, phi, eu, ep, phi_old, phi_oold, ca, sc, **kw)
+        return condense_residual(ju, jp, con, active)
+
+    _, b_coupled = jv_full(du, jnp.zeros_like(phi))
+    dp, it_p = run_block("p", rhs_p - b_coupled, Minv_p)
+
+    du, dp = expand_update(du, dp, con, active)
+    return du, dp, it_u + it_p
+
+
 def _level_block_ops(u, phi, phi_old, phi_oold, ca, con, active, sc,
                      *, dim, with_split, monolithic):
     """(op_u, op_p, Dinv_u, Dinv_p) for one mesh level: condensed

@@ -90,11 +90,11 @@ def _solve(sys, u, phi, phi_old, phi_oold, con, active, rhs_u, rhs_p,
     diag_u, diag_p = physics.jacobi_diagonal_approx(
         u, phi, phi_old, phi_oold, sys.ca, sys.scalars,
         dim=sys.dim, monolithic=sys.monolithic)
-    du, dp, iters = linear.solve_cg_block(
+    du, dp, iters = linear.solve_cg_block_chunked(
         u, phi, phi_old, phi_oold, sys.ca, sys.scalars, con, active,
         rhs_u, rhs_p, diag_u, diag_p, p.cg_rtol, 1e-300,
         dim=sys.dim, with_split=with_split, monolithic=sys.monolithic,
-        maxiter=p.cg_maxiter)
+        maxiter=p.cg_maxiter, chunk=p.cg_chunk)
     return du, dp, int(iters)
 
 
