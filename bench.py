@@ -1,7 +1,7 @@
 """Benchmark: wall-clock per load step, Sneddon 2d pressurized crack.
 
 Runs the flagship workload (quasi-monolithic PDAS phase-field fracture,
-matrix-free block-CG solver, float64) on the available accelerator and
+matrix-free block-CG solver, float64 outer / float32 Krylov) on the available accelerator and
 prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Baseline: the reference (deal.II + Trilinos, MPI) publishes no wall-clock
@@ -43,7 +43,8 @@ def _make_params(refine, dtype, precond, n_steps):
         n_global_pre_refine=refine, n_local_pre_refine=0,
         n_refinement_cycles=0, max_no_timesteps=n_steps - 1,
         output_dir="", linear_solver="cg", preconditioner=precond,
-        cg_rtol=1e-8, cg_maxiter=3000, dtype=dtype)
+        cg_rtol=1e-8, cg_maxiter=3000, dtype=dtype,
+        mixed_precision_cg=(os.environ.get("BENCH_MIXED", "1") == "1"))
 
 
 def main():

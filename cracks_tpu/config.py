@@ -157,6 +157,10 @@ class Parameters:
     cg_maxiter: int = 2000
     # CG steps per device call (bounded executions for flaky workers)
     cg_chunk: int = 100
+    # solve the Newton UPDATE systems in float32 (inexact Newton with
+    # iterative-refinement flavor): residuals/convergence stay float64,
+    # the Krylov solve runs at TPU-native f32 speed
+    mixed_precision_cg: bool = False
     # CG preconditioner: 'jacobi' or 'gmg' (geometric multigrid)
     preconditioner: str = 'jacobi'
     # number of devices to shard element arrays over (1 = single chip)
@@ -253,6 +257,7 @@ _PRM_MAP = {
     ("TPU parameters", "CG maximum iterations"): ("cg_maxiter", int),
     ("TPU parameters", "Preconditioner"): ("preconditioner", str),
     ("TPU parameters", "CG chunk"): ("cg_chunk", int),
+    ("TPU parameters", "Mixed precision CG"): ("mixed_precision_cg", _to_bool),
     ("TPU parameters", "Number of devices"): ("n_devices", int),
     ("TPU parameters", "Write VTU"): ("write_vtu", _to_bool),
 }

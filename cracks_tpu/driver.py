@@ -64,6 +64,10 @@ class System:
         dtype = jnp.float64 if params.dtype == "float64" else jnp.float32
         self.dtype = dtype
         self.ca = physics.build_cell_arrays(mesh, lam, mu, dtype=dtype)
+        self.ca32 = None
+        if params.mixed_precision_cg and dtype == jnp.float64:
+            self.ca32 = physics.build_cell_arrays(mesh, lam, mu,
+                                                  dtype=jnp.float32)
         if params.n_devices > 1:
             # SPMD domain decomposition: shard the element arrays over the
             # device mesh; XLA's partitioner parallelizes the jitted

@@ -87,14 +87,34 @@ def _solve(sys, u, phi, phi_old, phi_oold, con, active, rhs_u, rhs_p,
             dim=sys.dim, with_split=with_split, monolithic=sys.monolithic,
             maxiter=p.cg_maxiter)
         return du, dp, int(iters)
+    ca = sys.ca
+    sc = sys.scalars
+    rtol = p.cg_rtol
+    cast = None
+    if getattr(sys, "ca32", None) is not None:
+        # mixed precision: the Krylov solve runs in f32 (inexact Newton);
+        # residual assembly and convergence control stay f64
+        import jax.numpy as jnp
+        f32 = lambda x: jnp.asarray(x, dtype=jnp.float32)
+        ca = sys.ca32
+        sc = physics.Scalars(*(f32(v) for v in sys.scalars))
+        from ..ops.constraints import Constraints as _C
+        con = _C(*(f32(v) if v.dtype == jnp.float64 else v for v in con))
+        u, phi = f32(u), f32(phi)
+        phi_old, phi_oold = f32(phi_old), f32(phi_oold)
+        rhs_u, rhs_p = f32(rhs_u), f32(rhs_p)
+        rtol = max(p.cg_rtol, 3e-6)  # f32 stagnation floor
+        cast = lambda x: jnp.asarray(x, dtype=jnp.float64)
     diag_u, diag_p = physics.jacobi_diagonal_approx(
-        u, phi, phi_old, phi_oold, sys.ca, sys.scalars,
+        u, phi, phi_old, phi_oold, ca, sc,
         dim=sys.dim, monolithic=sys.monolithic)
     du, dp, iters = linear.solve_cg_block_chunked(
-        u, phi, phi_old, phi_oold, sys.ca, sys.scalars, con, active,
-        rhs_u, rhs_p, diag_u, diag_p, p.cg_rtol, 1e-300,
+        u, phi, phi_old, phi_oold, ca, sc, con, active,
+        rhs_u, rhs_p, diag_u, diag_p, rtol, 1e-300,
         dim=sys.dim, with_split=with_split, monolithic=sys.monolithic,
         maxiter=p.cg_maxiter, chunk=p.cg_chunk)
+    if cast is not None:
+        du, dp = cast(du), cast(dp)
     return du, dp, int(iters)
 
 
