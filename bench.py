@@ -44,15 +44,10 @@ def _make_params(refine, dtype, precond, n_steps):
         n_refinement_cycles=0, max_no_timesteps=n_steps - 1,
         output_dir="", linear_solver="cg", preconditioner=precond,
         cg_rtol=1e-8, cg_maxiter=3000, dtype=dtype,
-        mixed_precision_cg=(os.environ.get("BENCH_MIXED", "1") == "1"))
+        mixed_precision_cg=(os.environ.get("BENCH_MIXED", "0") == "1"))
 
 
-def main():
-    refine = int(os.environ.get("BENCH_REFINE", "4"))
-    n_steps = int(os.environ.get("BENCH_STEPS", "2"))
-    dtype = os.environ.get("BENCH_DTYPE", "float64")
-    precond = os.environ.get("BENCH_PRECOND", "jacobi")
-
+def _run_once(refine, dtype, precond, n_steps):
     from cracks_tpu.driver import Simulation
 
     # warmup run (1 step): pays all JIT compilation (persistently cached)
@@ -70,8 +65,33 @@ def main():
     t0 = time.time()
     sim2.run()
     wall = time.time() - t0
-    per_step = wall / n_steps
     bulk = sim2.statistics.data["Bulk Energy"][-1]
+    return n_dofs, warm, wall, bulk
+
+
+def main():
+    refine = int(os.environ.get("BENCH_REFINE", "4"))
+    n_steps = int(os.environ.get("BENCH_STEPS", "2"))
+    dtype = os.environ.get("BENCH_DTYPE", "float64")
+    precond = os.environ.get("BENCH_PRECOND", "jacobi")
+
+    # the shared TPU worker occasionally crashes/restarts under
+    # sustained load; retry, then fall back to a smaller problem
+    attempts = [(refine, 0), (refine, 120), (max(refine - 1, 2), 120)]
+    last_err = None
+    for r, pause in attempts:
+        if pause:
+            time.sleep(pause)
+        try:
+            n_dofs, warm, wall, bulk = _run_once(r, dtype, precond, n_steps)
+            break
+        except Exception as e:  # worker crash -> retry / shrink
+            last_err = e
+            print(f"# attempt refine={r} failed: {type(e).__name__}",
+                  file=sys.stderr)
+    else:
+        raise last_err
+    per_step = wall / n_steps
 
     baseline_s_per_step = 15.0 * (n_dofs / 3.0e5)  # see module docstring
     result = {
