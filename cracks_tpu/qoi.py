@@ -10,7 +10,8 @@ from __future__ import annotations
 
 import numpy as np
 
-from .fem import cell_geometry, element_tables, face_tables, tensor_quadrature, q1_shape_values, q1_shape_grads
+from .fem import (cell_geometry, element_tables, face_tables,
+                  q1_shape_grads, q1_shape_values)
 from .mesh import MeshData
 
 
@@ -166,7 +167,6 @@ def compute_cod_array(mesh: MeshData, u, phi, n_buckets: int = 75,
     """Bucketed COD profile over x in [-1.5, 1.5] using an iterated
     midpoint rule (cracks.cc:3323-3449).  Returns (x, values, exact)."""
     x1, x2 = -1.5, 1.5
-    pts, w = tensor_quadrature(mesh.dim, 2)  # cheap stand-in grid
     # The reference uses QIterated(QMidpoint, 100): 100^dim midpoints.
     # That is prohibitively many points; we use an n_iter midpoint rule
     # per axis capped for tractability.

@@ -12,8 +12,6 @@ follow the reference step for step.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Callable
-
 import jax.numpy as jnp
 import numpy as np
 
@@ -42,19 +40,6 @@ class NewtonLog:
         self.lines.append(line)
         if verbose:
             print(line)
-
-
-class LinearSolverCache:
-    """Holds the linearization point for Jacobian-reuse in the
-    penalized-monolithic Newton (cracks.cc:3041-3042)."""
-
-    def __init__(self):
-        self.u_lin = None
-        self.phi_lin = None
-
-    def set_point(self, u, phi):
-        self.u_lin = u
-        self.phi_lin = phi
 
 
 def _solve(sys, u, phi, phi_old, phi_oold, con, active, rhs_u, rhs_p,
