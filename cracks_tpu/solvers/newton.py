@@ -72,35 +72,60 @@ def _solve(sys, u, phi, phi_old, phi_oold, con, active, rhs_u, rhs_p,
             dim=sys.dim, with_split=with_split, monolithic=sys.monolithic,
             maxiter=p.cg_maxiter)
         return du, dp, int(iters)
-    ca = sys.ca
-    sc = sys.scalars
-    rtol = p.cg_rtol
-    cast = None
+    kw = dict(dim=sys.dim, with_split=with_split, monolithic=sys.monolithic)
+    total_its = 0
+    du = dp = None
     if getattr(sys, "ca32", None) is not None:
-        # mixed precision: the Krylov solve runs in f32 (inexact Newton);
-        # residual assembly and convergence control stay f64
-        import jax.numpy as jnp
+        # mixed precision via iterative refinement: a capped f32 Krylov
+        # pass takes the cheap iterations; the f64 correction solve below
+        # finishes to the requested tolerance (f32 CG stagnates at its
+        # kappa*eps floor once the rhs gets small late in Newton)
         f32 = lambda x: jnp.asarray(x, dtype=jnp.float32)
-        ca = sys.ca32
-        sc = physics.Scalars(*(f32(v) for v in sys.scalars))
         from ..ops.constraints import Constraints as _C
-        con = _C(*(f32(v) if v.dtype == jnp.float64 else v for v in con))
-        u, phi = f32(u), f32(phi)
-        phi_old, phi_oold = f32(phi_old), f32(phi_oold)
-        rhs_u, rhs_p = f32(rhs_u), f32(rhs_p)
-        rtol = max(p.cg_rtol, 3e-6)  # f32 stagnation floor
-        cast = lambda x: jnp.asarray(x, dtype=jnp.float64)
+        con32 = _C(*(f32(v) if v.dtype == jnp.float64 else v for v in con))
+        sc32 = physics.Scalars(*(f32(v) for v in sys.scalars))
+        args32 = (f32(u), f32(phi), f32(phi_old), f32(phi_oold))
+        diag_u, diag_p = physics.jacobi_diagonal_approx(
+            *args32, sys.ca32, sc32, dim=sys.dim, monolithic=sys.monolithic)
+        du32, dp32, it32 = linear.solve_cg_block_chunked(
+            *args32, sys.ca32, sc32, con32, active,
+            f32(rhs_u), f32(rhs_p), diag_u, diag_p,
+            max(p.cg_rtol, 1e-4), 1e-300,
+            maxiter=min(p.cg_maxiter, 10 * p.cg_chunk), chunk=p.cg_chunk,
+            **kw)
+        total_its += int(it32)
+        du = jnp.asarray(du32, dtype=u.dtype)
+        dp = jnp.asarray(dp32, dtype=u.dtype)
+        # f64 correction residual
+        ju, jp = physics.jacobian_vector_product(
+            u, phi, du, dp, phi_old, phi_oold, sys.ca, sys.scalars, **kw)
+        from ..ops.constraints import condense_residual as _cond
+        ju, jp = _cond(ju, jp, con, active)
+        rhs_u = rhs_u - ju
+        rhs_p = rhs_p - jp
+
     diag_u, diag_p = physics.jacobi_diagonal_approx(
-        u, phi, phi_old, phi_oold, ca, sc,
+        u, phi, phi_old, phi_oold, sys.ca, sys.scalars,
         dim=sys.dim, monolithic=sys.monolithic)
-    du, dp, iters = linear.solve_cg_block_chunked(
-        u, phi, phi_old, phi_oold, ca, sc, con, active,
-        rhs_u, rhs_p, diag_u, diag_p, rtol, 1e-300,
-        dim=sys.dim, with_split=with_split, monolithic=sys.monolithic,
-        maxiter=p.cg_maxiter, chunk=p.cg_chunk)
-    if cast is not None:
-        du, dp = cast(du), cast(dp)
-    return du, dp, int(iters)
+    # correction (or full) solve in f64: tolerance relative to the
+    # ORIGINAL right-hand side when refining
+    atol = 1e-300
+    if du is not None:
+        import numpy as _np
+        bnorm0 = float(jnp.sqrt(jnp.vdot(rhs_u, rhs_u).real
+                                + jnp.vdot(rhs_p, rhs_p).real))
+        atol = max(p.cg_rtol * bnorm0, 1e-300)
+    cu, cp, it64 = linear.solve_cg_block_chunked(
+        u, phi, phi_old, phi_oold, sys.ca, sys.scalars, con, active,
+        rhs_u, rhs_p, diag_u, diag_p, p.cg_rtol, atol,
+        maxiter=p.cg_maxiter, chunk=p.cg_chunk, **kw)
+    total_its += int(it64)
+    if du is None:
+        du, dp = cu, cp
+    else:
+        du = du + cu
+        dp = dp + cp
+    return du, dp, total_its
 
 
 def newton_active_set(sys, state, time: float, verbose: bool = True):
