@@ -75,6 +75,8 @@ def _solve(sys, u, phi, phi_old, phi_oold, con, active, rhs_u, rhs_p,
     kw = dict(dim=sys.dim, with_split=with_split, monolithic=sys.monolithic)
     total_its = 0
     du = dp = None
+    bnorm0 = float(jnp.sqrt(jnp.vdot(rhs_u, rhs_u).real
+                            + jnp.vdot(rhs_p, rhs_p).real))
     if getattr(sys, "ca32", None) is not None:
         # mixed precision via iterative refinement: a capped f32 Krylov
         # pass takes the cheap iterations; the f64 correction solve below
@@ -109,12 +111,9 @@ def _solve(sys, u, phi, phi_old, phi_oold, con, active, rhs_u, rhs_p,
         dim=sys.dim, monolithic=sys.monolithic)
     # correction (or full) solve in f64: tolerance relative to the
     # ORIGINAL right-hand side when refining
-    atol = 1e-300
-    if du is not None:
-        import numpy as _np
-        bnorm0 = float(jnp.sqrt(jnp.vdot(rhs_u, rhs_u).real
-                                + jnp.vdot(rhs_p, rhs_p).real))
-        atol = max(p.cg_rtol * bnorm0, 1e-300)
+    # when refining, the correction only needs to reach cg_rtol relative
+    # to the ORIGINAL right-hand side
+    atol = max(p.cg_rtol * bnorm0, 1e-300) if du is not None else 1e-300
     cu, cp, it64 = linear.solve_cg_block_chunked(
         u, phi, phi_old, phi_oold, sys.ca, sys.scalars, con, active,
         rhs_u, rhs_p, diag_u, diag_p, p.cg_rtol, atol,
