@@ -44,7 +44,7 @@ def _make_params(refine, dtype, precond, n_steps):
         n_refinement_cycles=0, max_no_timesteps=n_steps - 1,
         output_dir="", linear_solver="cg", preconditioner=precond,
         cg_rtol=1e-8, cg_maxiter=3000, dtype=dtype,
-        mixed_precision_cg=(os.environ.get("BENCH_MIXED", "0") == "1"))
+        mixed_precision_cg=(os.environ.get("BENCH_MIXED", "1") == "1"))
 
 
 def _run_once(refine, dtype, precond, n_steps):
