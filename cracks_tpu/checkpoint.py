@@ -1,0 +1,80 @@
+"""Checkpoint / resume.
+
+The reference has no checkpoint-restart (SURVEY.md section 5 — run()
+state lives in memory only); this is a new capability of the rebuild.
+A checkpoint captures everything run() needs to continue a simulation:
+the forest (cells), the solution triplet, and the time-stepping state.
+
+Format: a single .npz (host arrays only — portable across backends and
+device counts).
+"""
+
+from __future__ import annotations
+
+import json
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def save_checkpoint(path: str, sim, state) -> None:
+    """Write the full restartable state of a driver.Simulation."""
+    meta = dict(
+        time=sim.time, timestep=sim.timestep,
+        timestep_number=sim.timestep_number,
+        old_timestep=sim.old_timestep,
+        old_old_timestep=sim.old_old_timestep,
+        min_cell_diameter=sim.min_cell_diameter,
+        constant_k=sim.constant_k, alpha_eps=sim.alpha_eps,
+    )
+    np.savez_compressed(
+        path,
+        meta=json.dumps(meta),
+        forest_root=sim.forest.root,
+        forest_level=sim.forest.level,
+        forest_anchor=sim.forest.anchor,
+        u=np.asarray(state.u),
+        phi=np.asarray(state.phi),
+        u_old=np.asarray(state.u_old),
+        phi_old=np.asarray(state.phi_old),
+        phi_oold=np.asarray(state.phi_oold),
+    )
+
+
+def load_checkpoint(path: str, params):
+    """Reconstruct (Simulation, SolutionState) from a checkpoint.
+
+    The coarse mesh is rebuilt from the parameters (deterministic), the
+    forest cells are restored verbatim, and the System is re-set-up for
+    the restored mesh.
+    """
+    from .driver import Simulation, SolutionState
+
+    data = np.load(path, allow_pickle=False)
+    meta = json.loads(str(data["meta"]))
+
+    sim = Simulation(params.replace(n_global_pre_refine=0), verbose=False)
+    sim.forest.root = data["forest_root"]
+    sim.forest.level = data["forest_level"]
+    sim.forest.anchor = data["forest_anchor"]
+    sim.mesh = sim.forest.extract()
+    sim.min_cell_diameter = meta["min_cell_diameter"]
+    sim.constant_k = meta["constant_k"]
+    sim.alpha_eps = meta["alpha_eps"]
+    sim.setup_system()
+    sim.sys.constant_k = sim.constant_k
+    sim.sys.alpha_eps = sim.alpha_eps
+    sim.time = meta["time"]
+    sim.timestep = meta["timestep"]
+    sim.timestep_number = meta["timestep_number"]
+    sim.old_timestep = meta["old_timestep"]
+    sim.old_old_timestep = meta["old_old_timestep"]
+
+    state = SolutionState(
+        u=jnp.asarray(data["u"]), phi=jnp.asarray(data["phi"]),
+        u_old=jnp.asarray(data["u_old"]),
+        phi_old=jnp.asarray(data["phi_old"]),
+        phi_oold=jnp.asarray(data["phi_oold"]))
+    assert state.phi.shape[0] == sim.mesh.n_vertices, (
+        "checkpoint mesh does not match restored forest")
+    return sim, state
