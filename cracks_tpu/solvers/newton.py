@@ -127,6 +127,52 @@ def _solve(sys, u, phi, phi_old, phi_oold, con, active, rhs_u, rhs_p,
     return du, dp, total_its
 
 
+from functools import partial
+
+import jax
+
+
+@partial(jax.jit, static_argnames=("dim", "with_split"))
+def _fused_active_set_update(u, phi, phi_old, phi_oold, tot_p, active_old,
+                             cycling, hang_mask, diag_mass, c_weight,
+                             ca, sc, con, *, dim, with_split):
+    """One dispatch for the whole PDAS iteration head: indicator, set
+    update, pinning, hanging distribution, re-assembly, condensation and
+    the bookkeeping scalars (cracks.cc:2822-2918)."""
+    gap = phi - phi_old
+    indicator = tot_p / diag_mass + c_weight * gap
+    active = ((indicator > 0.0) | cycling) & ~hang_mask
+    phi = jnp.where(active, phi_old, phi)
+    phi = hanging_interpolate_p(phi, con)
+    u = hanging_interpolate_u(u, con)
+    ru, rp = physics.assemble_residual(
+        u, phi, phi_old, phi_oold, ca, sc,
+        dim=dim, with_split=with_split, monolithic=False)
+    tot_p = hanging_transpose_p(rp, con)
+    pde_u, pde_p = condense_residual(ru, rp, con, active)
+    n_active = jnp.sum(active)
+    n_cycling = jnp.sum(active & cycling)
+    changed = jnp.any(active != active_old)
+    left = active_old & ~active
+    return (u, phi, active, tot_p, pde_u, pde_p,
+            n_active, n_cycling, changed, left)
+
+
+@partial(jax.jit, static_argnames=("dim", "with_split"))
+def _fused_trial(u, phi, du, dp, phi_old, phi_oold, active, ca, sc, con,
+                 *, dim, with_split):
+    """One dispatch per line-search trial: step, assemble, condense, norm
+    (cracks.cc:2944-2949)."""
+    u = u + du
+    phi = phi + dp
+    ru, rp = physics.assemble_residual(
+        u, phi, phi_old, phi_oold, ca, sc,
+        dim=dim, with_split=with_split, monolithic=False)
+    tot_p = hanging_transpose_p(rp, con)
+    pde_u, pde_p = condense_residual(ru, rp, con, active)
+    return u, phi, tot_p, pde_u, pde_p, residual_norm(pde_u, pde_p)
+
+
 def newton_active_set(sys, state, time: float, verbose: bool = True):
     """Primal-dual active set Newton (cracks.cc:2780-2994).
 
@@ -176,27 +222,21 @@ def newton_active_set(sys, state, time: float, verbose: bool = True):
     while True:
         active_old = active
 
-        # ---- active set update (cracks.cc:2822-2899) ----
-        gap = phi - state.phi_old
-        indicator = tot_p / diag_mass + c_weight * gap
+        # ---- active set update + re-assembly, one dispatch
+        #      (cracks.cc:2822-2918) ----
         cycling = jnp.asarray(cycle_counter >= n_cycling_threshold)
-        active = (indicator > 0.0) | cycling
-        active = active & ~hang_mask
-        n_cycling_dofs = int(jnp.sum(active & cycling))
-        # pin active dofs to the old value (cracks.cc:2880)
-        phi = jnp.where(active, state.phi_old, phi)
-        phi = hanging_interpolate_p(phi, con)
-        u = hanging_interpolate_u(u, con)
-
+        (u, phi, active, tot_p, pde_u, pde_p, n_active_d, n_cyc_d,
+         changed_d, left_d) = _fused_active_set_update(
+            u, phi, state.phi_old, state.phi_oold, tot_p, active_old,
+            cycling, hang_mask, diag_mass, c_weight, sys.ca, sys.scalars,
+            con, dim=sys.dim, with_split=with_split)
+        n_cycling_dofs = int(n_cyc_d)
+        n_active = int(n_active_d)
+        num_changed = int(changed_d)
         # cycle detection: count dofs that LEFT the set (cracks.cc:2901-2907)
-        left = np.asarray(active_old & ~active)
-        cycle_counter[left] += 1
+        cycle_counter[np.asarray(left_d)] += 1
 
-        n_active = int(jnp.sum(active))
-        num_changed = int(jnp.any(active != active_old))
-
-        # ---- assemble + solve (cracks.cc:2917-2920) ----
-        tot_p, (pde_u, pde_p) = assemble(u, phi, active)
+        # ---- solve (cracks.cc:2919) ----
         du, dp, n_lin = _solve(sys, u, phi, state.phi_old, state.phi_oold,
                                con, active, pde_u, pde_p, with_split)
         sum_lin_it += n_lin
@@ -205,10 +245,11 @@ def newton_active_set(sys, state, time: float, verbose: bool = True):
         saved_u, saved_phi = u, phi
         line_search_step = 0
         for line_search_step in range(p.max_no_line_search_steps):
-            u = u + du
-            phi = phi + dp
-            tot_p, (pde_u, pde_p) = assemble(u, phi, active)
-            new_newton_residual = float(residual_norm(pde_u, pde_p))
+            u, phi, tot_p, pde_u, pde_p, res_d = _fused_trial(
+                u, phi, du, dp, state.phi_old, state.phi_oold, active,
+                sys.ca, sys.scalars, con, dim=sys.dim,
+                with_split=with_split)
+            new_newton_residual = float(res_d)
             if new_newton_residual < newton_residual:
                 break
             u, phi = saved_u, saved_phi
