@@ -70,8 +70,9 @@ def write_vtu(path: str, mesh: MeshData, point_data: dict, cell_data: dict):
 
 
 class PvdWriter:
-    """Accumulates (time, vtu) records into a ParaView .pvd master file
-    (the reference writes solution.pvd, cracks.cc:3253-3256)."""
+    """Accumulates (time, vtu) records into ParaView .pvd and VisIt
+    .visit master files (the reference writes solution.pvd and
+    solution.visit, cracks.cc:3240-3256)."""
 
     def __init__(self, directory: str):
         self.directory = directory
@@ -87,3 +88,6 @@ class PvdWriter:
                 f.write(f'<DataSet timestep="{t}" group="" part="0" '
                         f'file="{name}"/>\n')
             f.write('</Collection>\n</VTKFile>\n')
+        with open(os.path.join(self.directory, "solution.visit"), "w") as f:
+            for _, name in self.records:
+                f.write(name + "\n")

@@ -1,0 +1,95 @@
+"""QoI/functional unit tests (reference N15, cracks.cc:3264-3816)."""
+
+import numpy as np
+import pytest
+
+from cracks_tpu import qoi
+from cracks_tpu.mesh import Forest
+from cracks_tpu.meshio import rect_mesh
+
+
+def _mesh(n=4):
+    forest = Forest(rect_mesh([0, 0], [1, 1], [n, n]))
+    return forest.extract()
+
+
+def test_energy_of_linear_displacement():
+    mesh = _mesh()
+    # u = (a x, b y): E = diag(a, b); psi = lam/2 (a+b)^2 + mu (a^2+b^2)
+    a, b = 0.3, -0.1
+    u = np.stack([a * mesh.vert_coords[:, 0], b * mesh.vert_coords[:, 1]], 1)
+    phi = np.ones(mesh.n_vertices)
+    lam = np.full(mesh.n_cells, 2.0)
+    mu = np.full(mesh.n_cells, 0.7)
+    k, eps, Gc = 0.0, 0.25, 1.3
+    bulk, crack = qoi.compute_energy(mesh, u, phi, lam, mu, k, eps, Gc)
+    psi = 0.5 * 2.0 * (a + b) ** 2 + 0.7 * (a * a + b * b)
+    assert bulk == pytest.approx(psi, rel=1e-12)
+    assert crack == pytest.approx(0.0, abs=1e-14)  # phi == 1
+
+
+def test_crack_energy_of_linear_phi():
+    mesh = _mesh()
+    phi = 1.0 - 0.5 * mesh.vert_coords[:, 0]  # grad = (-0.5, 0)
+    u = np.zeros((mesh.n_vertices, 2))
+    lam = mu = np.ones(mesh.n_cells)
+    k, eps, Gc = 0.0, 0.2, 2.0
+    _, crack = qoi.compute_energy(mesh, u, phi, lam, mu, k, eps, Gc)
+    # Gc/2 * ( int (phi-1)^2/eps + eps*0.25 ) ; int (0.5x)^2 = 0.25/3
+    expect = Gc / 2 * (0.25 / 3 / eps + eps * 0.25)
+    assert crack == pytest.approx(expect, rel=1e-12)
+
+
+def test_tcv_divergence_free_check():
+    mesh = _mesh()
+    # u = (x, 0), phi = x: TCV = int u . grad(phi) = int x = 1/2
+    u = np.stack([mesh.vert_coords[:, 0], 0 * mesh.vert_coords[:, 1]], 1)
+    phi = mesh.vert_coords[:, 0]
+    assert qoi.compute_tcv(mesh, u, phi) == pytest.approx(0.5, rel=1e-12)
+
+
+def test_load_uniaxial_stretch():
+    mesh = _mesh()
+    # u = (0, b y): sigma = [[lam b, 0], [0, (lam+2mu) b]];
+    # load on top (id 3): integral sigma n = (0, (lam+2mu) b)
+    b = 0.01
+    u = np.stack([0 * mesh.vert_coords[:, 0], b * mesh.vert_coords[:, 1]], 1)
+    lam = np.full(mesh.n_cells, 3.0)
+    mu = np.full(mesh.n_cells, 0.5)
+    load = qoi.compute_load(mesh, u, lam, mu, boundary_id=3)
+    assert load[1] == pytest.approx((3.0 + 2 * 0.5) * b, rel=1e-12)
+
+
+def test_cod_line_integral():
+    mesh = _mesh()
+    # faces at x = 0.5; u = (1, 0), phi = y -> u.grad(phi) = 0;
+    # phi = x -> u.grad(phi) = 1, line length 1 -> cod = 1/2 (the 0.5
+    # factor) since double counting halves once more
+    u = np.stack([np.ones(mesh.n_vertices), np.zeros(mesh.n_vertices)], 1)
+    phi = mesh.vert_coords[:, 0]
+    cod = qoi.compute_cod(mesh, u, phi, 0.5)
+    assert cod == pytest.approx(0.5, rel=1e-12)
+    assert qoi.compute_cod(mesh, u, phi, 7.7) == -1e300
+
+
+def test_point_value_and_stress():
+    mesh = _mesh()
+    u = np.stack([mesh.vert_coords[:, 0] * 2.0,
+                  mesh.vert_coords[:, 1] * -3.0], 1)
+    v = qoi.compute_point_value(mesh, u, (0.3, 0.6))
+    assert np.allclose(v, [0.6, -1.8])
+    # -du_y/dy = 3
+    ps = qoi.compute_point_stress(mesh, u, point=(0.3, 0.6))
+    assert ps == pytest.approx(3.0, rel=1e-10)
+
+
+def test_cod_array_profile():
+    forest = Forest(rect_mesh([-2, -2], [2, 2], [8, 8]))
+    mesh = forest.extract()
+    u = np.stack([np.ones(mesh.n_vertices), np.zeros(mesh.n_vertices)], 1)
+    phi = mesh.vert_coords[:, 0]
+    xs, vals, exact = qoi.compute_cod_array(mesh, u, phi)
+    assert len(xs) == 75
+    assert np.isfinite(vals).all()
+    # the bucket grid does not hit x=0 exactly
+    assert exact.max() == pytest.approx(1.92e-3, rel=1e-3)
