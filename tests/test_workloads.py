@@ -65,3 +65,18 @@ def test_vtu_output(tmp_path):
     assert "phasefield" in text and "displacement" in text
     assert os.path.exists(os.path.join(tmp_path, "statistics"))
     assert os.path.exists(os.path.join(tmp_path, "parameters.prm"))
+
+
+def test_mix_refinement_strategy():
+    """The 'mix' strategy (phase-field flags + Kelly-style indicator +
+    fixed-fraction 0.3, cracks.cc:4043-4103) produces sensible flags on
+    the Sneddon 3d configuration that ships with it."""
+    from cracks_tpu.config import load_parameters
+    p = load_parameters("/root/reference/tests/sneddon_3d_1.prm",
+                        output_dir="", max_no_timesteps=0,
+                        n_global_pre_refine=0, n_refinement_cycles=0)
+    sim = Simulation(p, verbose=False)
+    state = sim.run()
+    flags = sim._refine_flags(state)
+    # phase-field criterion flags the crack, Kelly adds ~30% of cells
+    assert 0 < flags.sum() <= 0.5 * len(flags)
