@@ -29,7 +29,8 @@ import time
 
 def _make_params(refine, dtype, precond, n_steps):
     from cracks_tpu.config import Parameters, load_parameters
-    path = "/root/reference/parameters_sneddon_2d.prm"
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "params", "parameters_sneddon_2d.prm")
     if os.path.exists(path):
         p = load_parameters(path)
     else:

@@ -33,9 +33,9 @@ from .solvers import newton
 from .solvers.newton import NoConvergence
 from .statistics import Statistics
 
-REFERENCE_MESH_DIR = os.environ.get(
-    "CRACKS_TPU_MESH_DIR",
-    os.path.join(os.path.dirname(__file__), "..", "meshes"))
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+MESH_DIR = os.environ.get("CRACKS_TPU_MESH_DIR",
+                          os.path.join(REPO_ROOT, "meshes"))
 
 
 @dataclass
@@ -130,9 +130,7 @@ class System:
 def _setup_coarse_mesh(p: Parameters) -> meshio.CoarseMesh:
     """setup_mesh (cracks.cc:1194-1303)."""
     case = p.test_case
-    mesh_dir = "/root/reference/meshes"
-    if not os.path.isdir(mesh_dir):
-        mesh_dir = REFERENCE_MESH_DIR
+    mesh_dir = MESH_DIR
     if case in ("miehe tension", "miehe shear"):
         return meshio.read_ucd(os.path.join(mesh_dir, "unit_slit.inp"), dim=2)
     if case == "sneddon":
@@ -162,9 +160,8 @@ class Simulation:
         self.forest.refine_global(params.n_global_pre_refine)
         self.bitmap = None
         if params.test_case == "multiple het":
-            pgm = "/root/reference/test.pgm"
-            if not os.path.isfile(pgm):
-                pgm = os.path.join(REFERENCE_MESH_DIR, "..", "test.pgm")
+            pgm = os.environ.get("CRACKS_TPU_PGM",
+                                 os.path.join(REPO_ROOT, "test.pgm"))
             self.bitmap = problems.BitmapField(
                 pgm, 0, 10, 0, 10, params.E_modulus, 10.0 * params.E_modulus)
         self.mesh: MeshData = self.forest.extract()

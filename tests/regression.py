@@ -9,8 +9,11 @@ import os
 
 import numpy as np
 
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
-PRM_DIR = "/root/reference/tests"
+PRM_DIR = os.path.join(REPO_ROOT, "params", "tests")
+PARAMS_DIR = os.path.join(REPO_ROOT, "params")
+MESH_DIR = os.path.join(REPO_ROOT, "meshes")
 
 
 def parse_statistics(text: str):

@@ -6,10 +6,12 @@ import numpy as np
 from cracks_tpu.checkpoint import load_checkpoint, save_checkpoint
 from cracks_tpu.config import load_parameters
 from cracks_tpu.driver import Simulation
+import os
+from tests import regression
 
 
 def test_checkpoint_roundtrip(tmp_path):
-    p = load_parameters("/root/reference/tests/sneddon_2d_1.prm",
+    p = load_parameters(os.path.join(regression.PRM_DIR, "sneddon_2d_1.prm"),
                         output_dir="", max_no_timesteps=1)
     sim = Simulation(p, verbose=False)
     state = sim.run()

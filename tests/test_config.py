@@ -4,8 +4,10 @@ import pytest
 
 from cracks_tpu.config import Parameters, dump_parameters, load_parameters, parse_prm
 from cracks_tpu.expressions import ExpressionError, evaluate
+import os
+from tests import regression
 
-SNEDDON_PRM = "/root/reference/parameters_sneddon_2d.prm"
+SNEDDON_PRM = os.path.join(regression.PARAMS_DIR, "parameters_sneddon_2d.prm")
 
 
 def test_expression_basic():
@@ -75,7 +77,7 @@ def test_load_reference_parameter_file():
 
 def test_load_all_reference_test_prms():
     import glob
-    for f in sorted(glob.glob("/root/reference/tests/*.prm")):
+    for f in sorted(glob.glob(os.path.join(regression.PRM_DIR, "*.prm"))):
         p = load_parameters(f)
         assert p.max_no_timesteps >= 1, f
 

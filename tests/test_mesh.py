@@ -4,11 +4,13 @@ import pytest
 from cracks_tpu.fem import cell_geometry, element_tables, lumped_mass_diag
 from cracks_tpu.mesh import Forest
 from cracks_tpu.meshio import read_msh, read_ucd, rect_mesh
+import os
+from tests import regression
 
-UNIT_SLIT = "/root/reference/meshes/unit_slit.inp"
-UNIT_SQUARE_4 = "/root/reference/meshes/unit_square_4.inp"
-UNIT_CUBE_10 = "/root/reference/meshes/unit_cube_10.inp"
-THREEPOINT = "/root/reference/meshes/threepoint.msh"
+UNIT_SLIT = os.path.join(regression.MESH_DIR, "unit_slit.inp")
+UNIT_SQUARE_4 = os.path.join(regression.MESH_DIR, "unit_square_4.inp")
+UNIT_CUBE_10 = os.path.join(regression.MESH_DIR, "unit_cube_10.inp")
+THREEPOINT = os.path.join(regression.MESH_DIR, "threepoint.msh")
 
 
 # ---------------------------------------------------------------------------

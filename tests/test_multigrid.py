@@ -9,6 +9,8 @@ from cracks_tpu.config import load_parameters
 from cracks_tpu.driver import Simulation
 from cracks_tpu.mesh import Forest, interpolation_stencil
 from cracks_tpu.meshio import rect_mesh
+import os
+from tests import regression
 
 
 def test_truncated_forest():
@@ -39,7 +41,7 @@ def test_interpolation_stencil_linear_exactness():
 
 
 def _sneddon_sim(preconditioner, refine=2, run=True):
-    p = load_parameters("/root/reference/tests/sneddon_2d_1.prm",
+    p = load_parameters(os.path.join(regression.PRM_DIR, "sneddon_2d_1.prm"),
                         output_dir="", max_no_timesteps=0,
                         n_global_pre_refine=refine, n_local_pre_refine=0,
                         n_refinement_cycles=0, linear_solver="cg",

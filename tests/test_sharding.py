@@ -10,6 +10,8 @@ from cracks_tpu.mesh import Forest
 from cracks_tpu.meshio import rect_mesh
 from cracks_tpu.ops import physics
 from cracks_tpu.parallel import sharding
+import os
+from tests import regression
 
 
 @pytest.fixture(scope="module")
@@ -79,7 +81,7 @@ def test_driver_multidevice_matches_single(tmp_path):
     from cracks_tpu.config import load_parameters
     from cracks_tpu.driver import Simulation
 
-    p = load_parameters("/root/reference/tests/sneddon_2d_1.prm",
+    p = load_parameters(os.path.join(regression.PRM_DIR, "sneddon_2d_1.prm"),
                         output_dir="", max_no_timesteps=1,
                         n_local_pre_refine=0, n_refinement_cycles=0,
                         linear_solver="cg")

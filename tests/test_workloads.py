@@ -9,10 +9,11 @@ import pytest
 
 from cracks_tpu.config import load_parameters
 from cracks_tpu.driver import Simulation, run_prm
+from tests import regression
 
 
 def test_multiple_homo_short(tmp_path):
-    p = load_parameters("/root/reference/parameters_homo_multiple_cracks.prm",
+    p = load_parameters(os.path.join(regression.PARAMS_DIR, "parameters_homo_multiple_cracks.prm"),
                         output_dir=str(tmp_path), max_no_timesteps=1,
                         n_global_pre_refine=3, n_refinement_cycles=0)
     sim = Simulation(p, verbose=False)
@@ -25,7 +26,7 @@ def test_multiple_homo_short(tmp_path):
 
 
 def test_multiple_het_2d_short(tmp_path):
-    p = load_parameters("/root/reference/parameters_hetero_multiple_cracks.prm",
+    p = load_parameters(os.path.join(regression.PARAMS_DIR, "parameters_hetero_multiple_cracks.prm"),
                         output_dir=str(tmp_path), max_no_timesteps=1,
                         n_global_pre_refine=3, n_local_pre_refine=0,
                         n_refinement_cycles=0)
@@ -39,7 +40,7 @@ def test_multiple_het_2d_short(tmp_path):
 def test_simple_monolithic_sneddon(tmp_path):
     # the penalized-monolithic outer solver (cracks.cc:2997-3107) on a
     # small Sneddon problem
-    p = load_parameters("/root/reference/tests/sneddon_2d_1.prm",
+    p = load_parameters(os.path.join(regression.PRM_DIR, "sneddon_2d_1.prm"),
                         output_dir=str(tmp_path), max_no_timesteps=1,
                         n_local_pre_refine=0, n_refinement_cycles=0,
                         outer_solver="simple monolithic", gamma_penal=100.0)
@@ -52,7 +53,7 @@ def test_simple_monolithic_sneddon(tmp_path):
 
 
 def test_vtu_output(tmp_path):
-    p = load_parameters("/root/reference/tests/sneddon_2d_1.prm",
+    p = load_parameters(os.path.join(regression.PRM_DIR, "sneddon_2d_1.prm"),
                         output_dir=str(tmp_path), max_no_timesteps=0,
                         n_local_pre_refine=0, n_refinement_cycles=0,
                         write_vtu=True)
@@ -72,7 +73,7 @@ def test_mix_refinement_strategy():
     fixed-fraction 0.3, cracks.cc:4043-4103) produces sensible flags on
     the Sneddon 3d configuration that ships with it."""
     from cracks_tpu.config import load_parameters
-    p = load_parameters("/root/reference/tests/sneddon_3d_1.prm",
+    p = load_parameters(os.path.join(regression.PRM_DIR, "sneddon_3d_1.prm"),
                         output_dir="", max_no_timesteps=0,
                         n_global_pre_refine=0, n_refinement_cycles=0)
     sim = Simulation(p, verbose=False)
