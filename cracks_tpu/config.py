@@ -163,6 +163,11 @@ class Parameters:
     mixed_precision_cg: bool = False
     # CG preconditioner: 'jacobi' or 'gmg' (geometric multigrid)
     preconditioner: str = 'jacobi'
+    # Krylov operator: True = stored per-cell element Jacobians (built
+    # once per Newton iteration; every CG iteration is a batched dense
+    # matvec — solvers/assembled.py), False = re-derive the physics
+    # Jacobian-vector product each iteration (round-1 behavior)
+    assembled_matvec: bool = True
     # number of devices to shard element arrays over (1 = single chip)
     n_devices: int = 1
     # write VTU visualization output every step

@@ -84,8 +84,9 @@ class System:
         mask_u, _, mask_p, _ = problems.dirichlet_conditions(
             params, mesh, 0.0, initial_step=False)
         self._con = make_constraints(mesh, mask_u, mask_p, dtype=dtype)
-        # GMG hierarchy (attached by the driver when preconditioner=gmg)
+        # GMG hierarchies (attached by the driver when preconditioner=gmg)
         self.hierarchy = None
+        self.galerkin_hierarchy = None
         # context (set by the driver before each nonlinear solve)
         self.scalars: physics.Scalars = None
         self.with_split: bool = False
@@ -198,7 +199,6 @@ class Simulation:
         self.sys.constant_k = self.constant_k
         self.sys.alpha_eps = self.alpha_eps
         if self.p.preconditioner == "gmg":
-            from .solvers import multigrid
             p = self.p
 
             def lam_fn(m):
@@ -209,9 +209,19 @@ class Simulation:
                     p, m, 0.0, initial_step=False)
                 return mu_, mp_
 
-            self.sys.hierarchy = multigrid.build_hierarchy(
-                self.forest, self.mesh, p, lam_fn, dirichlet_fn,
-                dtype=self.sys.dtype)
+            if p.assembled_matvec:
+                # coefficient-exact Galerkin element coarsening
+                # (solvers/galerkin.py); falls back below when the mesh
+                # has hanging nodes on any level
+                from .solvers import galerkin
+                self.sys.galerkin_hierarchy = galerkin.\
+                    build_galerkin_hierarchy(self.forest, self.mesh,
+                                             dirichlet_fn)
+            if getattr(self.sys, "galerkin_hierarchy", None) is None:
+                from .solvers import multigrid
+                self.sys.hierarchy = multigrid.build_hierarchy(
+                    self.forest, self.mesh, p, lam_fn, dirichlet_fn,
+                    dtype=self.sys.dtype)
         self.log(f"\nDoFs: {self.mesh.n_vertices * self.mesh.dim} solid + "
                  f"{self.mesh.n_vertices} phase = {self.mesh.n_dofs}")
 

@@ -274,14 +274,19 @@ def _single_cell_residual(u_e, phi_e, pf_old_e, pf_oold_e, JxW, grads,
     return ru_e, rp_e
 
 
-@partial(jax.jit, static_argnames=("dim", "with_split", "monolithic"))
+@partial(jax.jit, static_argnames=("dim", "with_split", "monolithic",
+                                   "cell_last"))
 def element_matrices(u, phi, phi_old, phi_oold, ca: CellArrays, sc: Scalars,
-                     *, dim: int, with_split: bool, monolithic: bool):
+                     *, dim: int, with_split: bool, monolithic: bool,
+                     cell_last: bool = False):
     """Dense element Jacobians J_loc = -d(rhs_loc)/d(x_loc) per cell.
 
     Local dof ordering: u dofs vertex-major (a*dim+d), then nvc phi dofs.
-    Returns (n_cells, ndl, ndl) — cell axis FIRST here (consumed by the
-    host sparse factorization, not kept in HBM)."""
+    With cell_last=False returns (n_cells, ndl, ndl) — consumed by the
+    host sparse factorization.  With cell_last=True returns
+    (ndl, ndl, n_cells) — the TPU-resident layout (cell axis last avoids
+    tile padding; see module docstring) used by the stored-matrix Krylov
+    operator in solvers/assembled.py."""
     nvc = ca.gather_p.shape[0]
     ndl = nvc * (dim + 1)
 
@@ -296,10 +301,11 @@ def element_matrices(u, phi, phi_old, phi_oold, ca: CellArrays, sc: Scalars,
 
     x_all = jnp.concatenate([u[ca.gather_u], phi[ca.gather_p]], axis=0).T
     jac = jax.vmap(jax.jacfwd(local),
-                   in_axes=(0, 1, 1, 1, 3, 0, 0, 0))(
+                   in_axes=(0, 1, 1, 1, 3, 0, 0, 0),
+                   out_axes=2 if cell_last else 0)(
         x_all, phi_old[ca.gather_p], phi_oold[ca.gather_p], ca.JxW,
         ca.grads, ca.lam, ca.mu, ca.inv_diam2)
-    assert jac.shape[-1] == ndl
+    assert jac.shape[0 if cell_last else -1] == ndl
     return jac
 
 

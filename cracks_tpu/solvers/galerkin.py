@@ -1,0 +1,569 @@
+"""Galerkin (element-RAP) geometric multigrid on stored element matrices.
+
+The reference preconditions GMRES with Trilinos ML — *algebraic*
+multigrid whose aggregation reads the matrix entries and therefore sees
+the fracture's degraded coefficient (cracks.cc:2477-2497).  Round 1's
+geometric V-cycle rediscretized coarse operators from restricted state,
+which misrepresents the 1-2-cell-wide crack strip (full-weighting turns
+a ~1e-9 coefficient into ~0.25) and stalled on fracture steps
+(solvers/multigrid.py docstring).
+
+This module gets the reference's coefficient awareness the TPU-native
+way: **Galerkin coarse operators assembled element-wise on device**.
+For nested Q1 spaces, a coarse basis function restricted to a child
+cell is a fixed linear combination of the child's basis functions, so
+
+    A_coarse[parent] = sum_children  P_pos^T  A_fine[child]  P_pos
+
+with 2^dim constant (ndl x ndl) embedding matrices P_pos (plus identity
+for pass-through leaves of the truncated forest).  The coarse element
+matrices inherit the fine coefficients *exactly* — the crack strip's
+tiny entries survive to every level, so the coarse correction never
+injects energy into the crack.  All levels then share the stored-matrix
+machinery of solvers/assembled.py: batched dense matvecs, exact
+diagonals, Chebyshev smoothing, and a dense Cholesky on the coarsest
+level (the Amesos-direct analogue, cracks.cc:2750-2758).
+
+Restriction: Galerkin element coarsening requires the per-level meshes
+to have no hanging nodes (otherwise the global interpolation is not the
+cell-local embedding).  The production-scale configurations (uniformly
+refined Sneddon / fixed-mesh Miehe) satisfy this; adaptive runs fall
+back to the Jacobi/rediscretized paths.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..mesh import Forest, MeshData, interpolation_stencil
+from ..ops import physics
+from . import assembled
+from .multigrid import _chebyshev, _prolong, _restrict
+
+
+# ---------------------------------------------------------------------------
+# host-side hierarchy construction (per mesh epoch)
+# ---------------------------------------------------------------------------
+
+def _rows_view(*cols):
+    a = np.ascontiguousarray(np.stack([c.astype(np.int64) for c in cols],
+                                      axis=1))
+    return a.view([("", np.int64)] * a.shape[1]).ravel()
+
+
+def cell_parent_map(coarse_f: Forest, fine_f: Forest):
+    """For each fine-forest cell: (parent cell index in the coarse
+    forest, position code).  Position 0..2^dim-1 identifies which child
+    octant; 2^dim means pass-through (the cell exists on both levels)."""
+    dim = coarse_f.dim
+    ckeys = _rows_view(coarse_f.root, coarse_f.level, *coarse_f.anchor.T)
+    order = np.argsort(ckeys)
+    csorted = ckeys[order]
+
+    fkeys_self = _rows_view(fine_f.root, fine_f.level, *fine_f.anchor.T)
+    pos_self = np.searchsorted(csorted, fkeys_self)
+    pos_self_c = np.minimum(pos_self, len(csorted) - 1)
+    found_self = csorted[pos_self_c] == fkeys_self
+
+    lvl_p = np.maximum(fine_f.level - 1, 0)
+    Wp = (fine_f.S >> lvl_p).astype(np.int64)
+    anchor_p = (fine_f.anchor // Wp[:, None]) * Wp[:, None]
+    fkeys_par = _rows_view(fine_f.root, lvl_p, *anchor_p.T)
+    pos_par = np.searchsorted(csorted, fkeys_par)
+    pos_par_c = np.minimum(pos_par, len(csorted) - 1)
+    found_par = csorted[pos_par_c] == fkeys_par
+    if not (found_self | found_par).all():
+        raise RuntimeError("fine forest is not a one-level refinement of "
+                           "the coarse forest")
+
+    parent = np.where(found_self, order[pos_self_c], order[pos_par_c])
+    Wf = (fine_f.S >> fine_f.level).astype(np.int64)
+    child_bits = (fine_f.anchor // Wf[:, None]) & 1
+    pos_code = np.zeros(len(parent), dtype=np.int64)
+    for d in range(dim):
+        pos_code |= child_bits[:, d] << d
+    pos_code = np.where(found_self, 2 ** dim, pos_code)
+    return parent.astype(np.int64), pos_code
+
+
+def embedding_matrices(dim: int) -> np.ndarray:
+    """(2^dim + 1, ndl, ndl) local embedding P_pos with
+    P[a_fine_local_dof, b_coarse_local_dof]; the last entry is the
+    identity (pass-through cells)."""
+    nvc = 2 ** dim
+    ndl = nvc * (dim + 1)
+    out = np.zeros((nvc + 1, ndl, ndl))
+    for pos in range(nvc):
+        Ps = np.zeros((nvc, nvc))
+        for a in range(nvc):
+            w = 1.0
+            row = np.ones(nvc)
+            for d in range(dim):
+                x = (((pos >> d) & 1) + ((a >> d) & 1)) / 2.0
+                for b in range(nvc):
+                    row[b] *= x if ((b >> d) & 1) else (1.0 - x)
+            Ps[a] = row
+        P = np.zeros((ndl, ndl))
+        for a in range(nvc):
+            for b in range(nvc):
+                for d in range(dim):
+                    P[a * dim + d, b * dim + d] = Ps[a, b]
+                P[nvc * dim + a, nvc * dim + b] = Ps[a, b]
+        out[pos] = P
+    out[nvc] = np.eye(ndl)
+    return out
+
+
+class GLevel(NamedTuple):
+    """Static per-level data (device arrays; rebuilt per mesh epoch)."""
+
+    gather_u: jax.Array        # (nvc*dim, n_c) int32
+    gather_p: jax.Array        # (nvc, n_c) int32
+    dirichlet_u: jax.Array     # (n_ud,) bool
+    dirichlet_p: jax.Array     # (n_p,) bool
+    inject_p: jax.Array        # (n_p,) int32 — level vertex -> fine vertex
+    # coarsening from the NEXT-FINER level:
+    fine_idx: jax.Array        # (n_cf,) int32 — finer-level cell ids
+    parent_idx: jax.Array      # (n_cf,) int32 — this level's cell ids
+    pos_code: jax.Array        # (n_cf,) int32
+    # prolongation stencils INTO the next-finer level:
+    up_masters_p: jax.Array    # (n_p_finer, 2^dim) int32
+    up_weights_p: jax.Array
+    up_masters_u: jax.Array
+    up_weights_u: jax.Array
+
+
+class GalerkinHierarchy(NamedTuple):
+    levels: tuple              # coarsest ... finest-1 (GLevel)
+    P_embed: jax.Array         # (2^dim + 1, ndl, ndl)
+    dim: int
+
+
+def build_galerkin_hierarchy(forest: Forest, fine_mesh: MeshData,
+                             dirichlet_fn, dtype=jnp.float64,
+                             min_coarse_vertices: int = 400):
+    """Construct the Galerkin GMG hierarchy for the current forest.
+
+    Returns None when the configuration is unsupported (hanging nodes on
+    any level, or no usable coarsening)."""
+    dim = fine_mesh.dim
+    if len(fine_mesh.hang_child):
+        return None
+    lmax = int(forest.level.max())
+    chain = []  # (forest, mesh) coarse -> fine-1
+    for l in range(lmax):
+        f_l = forest.truncated(l)
+        if f_l.n_cells == forest.n_cells:
+            break
+        m_l = f_l.extract()
+        if len(m_l.hang_child):
+            return None
+        if chain and m_l.n_vertices == chain[-1][1].n_vertices:
+            continue
+        chain.append((f_l, m_l))
+    # drop tiny duplicate coarse levels below the dense-solve threshold
+    while len(chain) > 1 and chain[1][1].n_vertices < min_coarse_vertices:
+        chain.pop(0)
+    if not chain:
+        return None
+
+    comp = np.arange(dim)
+    levels = []
+    fine_keys = fine_mesh.vertex_keys
+    for i, (f_l, m_l) in enumerate(chain):
+        finer_f = chain[i + 1][0] if i + 1 < len(chain) else forest
+        finer_m = chain[i + 1][1] if i + 1 < len(chain) else fine_mesh
+        parent, pos_code = cell_parent_map(f_l, finer_f)
+        masters, weights = interpolation_stencil(f_l, m_l, finer_m)
+        m_u = (masters.astype(np.int64)[:, None, :] * dim
+               + comp[None, :, None]).reshape(-1, masters.shape[1])
+        w_u = np.repeat(weights, dim, axis=0)
+        mask_u, mask_p = dirichlet_fn(m_l)
+        pos = np.searchsorted(fine_keys, m_l.vertex_keys)
+        if not (fine_keys[np.minimum(pos, len(fine_keys) - 1)]
+                == m_l.vertex_keys).all():
+            return None
+        c2v = m_l.cell2vert.astype(np.int64)
+        nvc = 2 ** dim
+        gu = (c2v[:, :, None] * dim
+              + np.arange(dim)[None, None, :]).reshape(-1, nvc * dim).T
+        levels.append(GLevel(
+            gather_u=jnp.asarray(gu, jnp.int32),
+            gather_p=jnp.asarray(c2v.T, jnp.int32),
+            dirichlet_u=jnp.asarray(np.asarray(mask_u).reshape(-1)),
+            dirichlet_p=jnp.asarray(mask_p),
+            inject_p=jnp.asarray(pos, jnp.int32),
+            fine_idx=jnp.asarray(np.arange(finer_f.n_cells), jnp.int32),
+            parent_idx=jnp.asarray(parent, jnp.int32),
+            pos_code=jnp.asarray(pos_code, jnp.int32),
+            up_masters_p=jnp.asarray(masters, jnp.int32),
+            up_weights_p=jnp.asarray(weights, dtype),
+            up_masters_u=jnp.asarray(m_u, jnp.int32),
+            up_weights_u=jnp.asarray(w_u, dtype)))
+    return GalerkinHierarchy(
+        levels=tuple(levels),
+        P_embed=jnp.asarray(embedding_matrices(dim), dtype),
+        dim=dim)
+
+
+# ---------------------------------------------------------------------------
+# device-side: coarse matrices, V-cycle, CG
+# ---------------------------------------------------------------------------
+
+def coarsen_level(jac_finer, lvl: GLevel, P_embed, n_coarse_cells: int):
+    """A_l = sum P_pos^T A_{l+1} P_pos, batched over cells."""
+    ndl = jac_finer.shape[0]
+    P_embed = P_embed.astype(jac_finer.dtype)
+    P = P_embed[lvl.pos_code]                      # (n_cf, ndl, ndl)
+    A = jac_finer[:, :, lvl.fine_idx]              # (ndl, ndl, n_cf)
+    C = jnp.einsum("nai,abn,nbj->ijn", P, A, P)
+    out = jnp.zeros((ndl, ndl, n_coarse_cells), jac_finer.dtype)
+    return out.at[:, :, lvl.parent_idx].add(C)
+
+
+class _LevelOps(NamedTuple):
+    jac: jax.Array
+    gather_u: jax.Array
+    gather_p: jax.Array
+    free_u: jax.Array
+    free_p: jax.Array
+    Dinv_u: jax.Array
+    Dinv_p: jax.Array
+    lam_u: jax.Array
+    lam_p: jax.Array
+    up_masters_u: jax.Array
+    up_weights_u: jax.Array
+    up_masters_p: jax.Array
+    up_weights_p: jax.Array
+
+
+def _matvec(jac, gather, x, lo, hi):
+    xe = x[gather]
+    ye = jnp.einsum("ijc,jc->ic", jac[lo:hi, lo:hi], xe)
+    return jnp.zeros_like(x).at[gather].add(ye)
+
+
+def _masked_op(jac, gather, free, lo, hi):
+    return lambda x: jnp.where(
+        free, _matvec(jac, gather, jnp.where(free, x, 0.0), lo, hi), 0.0)
+
+
+def _gershgorin_lambda_max(jac, gather, free, Dinv, lo, hi):
+    """Deterministic upper bound on lambda_max(D^{-1} A): the Gershgorin
+    row-sum bound max_i sum_j |A_ij| / d_i, with the row sums
+    over-approximated element-wise (triangle inequality over cells).
+    An UPPER bound is essential here: Chebyshev smoothing AMPLIFIES
+    modes above its assumed spectrum edge, and a power-iteration
+    estimate can sit below lambda_max when the dominant mode is
+    localized in the degraded crack strip (observed: 1.54 vs 2.18 on
+    the fracture u-block, which made the V-cycle divergent)."""
+    rs = jnp.sum(jnp.abs(jac[lo:hi, lo:hi]), axis=1)        # (b, c)
+    s = jnp.zeros_like(Dinv).at[gather].add(rs)
+    return jnp.max(jnp.where(free, s * jnp.abs(Dinv), 0.0))
+
+
+def build_level_ops(hier: GalerkinHierarchy, jac_fine, ca_fine, active,
+                    dirichlet_u_f, dirichlet_p_f, hang_mask_u_f,
+                    hang_mask_p_f, n_ud_f, n_p_f, *, dim: int):
+    """Per-level operator data, coarsest..finest, for both blocks."""
+    nvc = 2 ** dim
+    nud_l = nvc * dim
+    levels = hier.levels
+    # coarsen matrices top-down
+    jacs = [jac_fine]
+    for lvl in reversed(levels):
+        n_cc = int(lvl.gather_p.shape[1])
+        jacs.insert(0, coarsen_level(jacs[0], lvl, hier.P_embed, n_cc))
+
+    out = []
+    for i, lvl in enumerate(levels):
+        jac = jacs[i]
+        n_p = int(lvl.dirichlet_p.shape[0])
+        n_ud = n_p * dim
+        act_l = active[lvl.inject_p]
+        free_u = ~lvl.dirichlet_u
+        free_p = ~(lvl.dirichlet_p | act_l)
+        du, dp = assembled.diagonals(jac, _GatherView(lvl.gather_u,
+                                                      lvl.gather_p),
+                                     n_ud, n_p, dim=dim)
+        Dinv_u = jnp.where(free_u & (jnp.abs(du) > 0), 1.0 / du, 1.0)
+        Dinv_p = jnp.where(free_p & (jnp.abs(dp) > 0), 1.0 / dp, 1.0)
+        lam_u = _gershgorin_lambda_max(jac, lvl.gather_u, free_u,
+                                       Dinv_u, 0, nud_l)
+        lam_p = _gershgorin_lambda_max(jac, lvl.gather_p, free_p,
+                                       Dinv_p, nud_l, nud_l + nvc)
+        out.append(_LevelOps(jac, lvl.gather_u, lvl.gather_p, free_u,
+                             free_p, Dinv_u, Dinv_p, lam_u, lam_p,
+                             lvl.up_masters_u,
+                             lvl.up_weights_u.astype(jac.dtype),
+                             lvl.up_masters_p,
+                             lvl.up_weights_p.astype(jac.dtype)))
+
+    # finest level
+    free_u_f = ~(dirichlet_u_f | hang_mask_u_f)
+    free_p_f = ~(dirichlet_p_f | hang_mask_p_f | active)
+    du, dp = assembled.diagonals(jac_fine, ca_fine, n_ud_f, n_p_f, dim=dim)
+    Dinv_u = jnp.where(free_u_f & (jnp.abs(du) > 0), 1.0 / du, 1.0)
+    Dinv_p = jnp.where(free_p_f & (jnp.abs(dp) > 0), 1.0 / dp, 1.0)
+    lam_u = _gershgorin_lambda_max(jac_fine, ca_fine.gather_u, free_u_f,
+                                   Dinv_u, 0, nud_l)
+    lam_p = _gershgorin_lambda_max(jac_fine, ca_fine.gather_p, free_p_f,
+                                   Dinv_p, nud_l, nud_l + nvc)
+    out.append(_LevelOps(jac_fine, ca_fine.gather_u, ca_fine.gather_p,
+                         free_u_f, free_p_f, Dinv_u, Dinv_p, lam_u, lam_p,
+                         None, None, None, None))
+    return tuple(out)
+
+
+class _GatherView(NamedTuple):
+    """Duck-typed stand-in for CellArrays where only the gather maps are
+    needed (assembled.diagonals)."""
+    gather_u: jax.Array
+    gather_p: jax.Array
+
+
+def make_vcycle(level_ops: tuple, *, dim: int, which: str,
+                degree: int = 2):
+    """V-cycle application M^{-1} b for one block over the Galerkin
+    hierarchy; exact arithmetic analogue of multigrid.make_vcycle with
+    a dense Cholesky coarsest solve."""
+    nvc = 2 ** dim
+    nud_l = nvc * dim
+    lo, hi = (0, nud_l) if which == "u" else (nud_l, nud_l + nvc)
+    L = len(level_ops)
+
+    def level_pieces(l):
+        lv = level_ops[l]
+        gather = lv.gather_u if which == "u" else lv.gather_p
+        free = lv.free_u if which == "u" else lv.free_p
+        Dinv = lv.Dinv_u if which == "u" else lv.Dinv_p
+        lam = lv.lam_u if which == "u" else lv.lam_p
+        op = _masked_op(lv.jac, gather, free, lo, hi)
+        return lv, gather, free, Dinv, lam, op
+
+    # coarsest dense factor (built lazily on first call inside jit trace)
+    lv0, gather0, free0, Dinv0, lam0, op0 = level_pieces(0)
+    n0 = free0.shape[0]
+
+    def coarse_dense():
+        # assemble dense A0 from element matrices
+        g = gather0
+        ndl_b = hi - lo
+        A = lv0.jac[lo:hi, lo:hi]                     # (b, b, c)
+        rows = jnp.broadcast_to(g[:, None, :], (ndl_b, ndl_b, g.shape[1]))
+        cols = jnp.broadcast_to(g[None, :, :], (ndl_b, ndl_b, g.shape[1]))
+        A0 = jnp.zeros((n0, n0), lv0.jac.dtype)
+        A0 = A0.at[rows.reshape(-1), cols.reshape(-1)].add(A.reshape(-1))
+        # constrained dofs -> identity rows/cols
+        m = free0
+        A0 = jnp.where(m[:, None] & m[None, :], A0, 0.0)
+        A0 = A0 + jnp.diag(jnp.where(m, 0.0, 1.0))
+        # The degraded crack strip gives A0 a coefficient contrast of
+        # ~1/k (1e8-1e9).  A float32 Cholesky of that breaks down
+        # (garbage/NaN factors -> indefinite preconditioner -> CG
+        # stalls), so factor the Jacobi-SCALED matrix in float64
+        # whatever the V-cycle dtype; the coarsest level is tiny.
+        A0 = A0.astype(jnp.float64)
+        s = 1.0 / jnp.sqrt(jnp.abs(jnp.diagonal(A0)))
+        A0s = A0 * s[:, None] * s[None, :]
+        return jax.scipy.linalg.cho_factor(A0s), s
+
+    cho, cho_scale = coarse_dense()
+
+    def cycle(l, b):
+        lv, gather, free, Dinv, lam, op = level_pieces(l)
+        b = jnp.where(free, b, 0.0)
+        if l == 0:
+            bs = cho_scale * b.astype(jnp.float64)
+            x = (cho_scale * jax.scipy.linalg.cho_solve(cho, bs)
+                 ).astype(b.dtype)
+            return jnp.where(free, x, 0.0)
+        x = _chebyshev(op, Dinv, b, lam, degree)
+        r = b - op(x)
+        lvc = level_ops[l - 1]
+        mast = lvc.up_masters_u if which == "u" else lvc.up_masters_p
+        wts = lvc.up_weights_u if which == "u" else lvc.up_weights_p
+        n_c = (lvc.free_u if which == "u" else lvc.free_p).shape[0]
+        r_c = _restrict(r, mast, wts, n_c)
+        e_c = cycle(l - 1, r_c)
+        x = x + jnp.where(free, _prolong(e_c, mast, wts), 0.0)
+        r = b - op(x)
+        x = x + _chebyshev(op, Dinv, r, lam, degree)
+        return x
+
+    return lambda b: cycle(L - 1, b)
+
+
+# ---------------------------------------------------------------------------
+# the preconditioned solve (block-triangular CG, chunked dispatches)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("dim",))
+def _build_ops(levels, P_embed, jac_fine, ca_fine, active,
+               dirichlet_u, dirichlet_p, hang_mask_u, hang_mask_p,
+               *, dim: int):
+    hier = GalerkinHierarchy(levels=levels, P_embed=P_embed, dim=dim)
+    return build_level_ops(hier, jac_fine, ca_fine, active, dirichlet_u,
+                           dirichlet_p, hang_mask_u, hang_mask_p,
+                           dirichlet_u.shape[0], dirichlet_p.shape[0],
+                           dim=dim)
+
+
+@partial(jax.jit, static_argnames=("dim", "which", "chunk", "degree",
+                                   "f64_op"))
+def _cg_chunk(level_ops, jac64, gather64, state, tol2, *, dim: int,
+              which: str, chunk: int, degree: int, f64_op: bool):
+    """One bounded PCG advance.  The V-cycle preconditioner always runs
+    in the level_ops dtype (float32 in production); with f64_op=True the
+    CG vectors and the fine matvec run in float64 on jac64 — full f64
+    solution accuracy at f32 preconditioner cost, with none of the
+    pathological float64 V-cycle compile time on TPU.
+
+    The state carries the best-residual iterate seen so far; CG chasing
+    a tolerance near its kappa*eps floor can otherwise drift to huge
+    iterates, and the caller gets x_best, never the drifted tail."""
+    nvc = 2 ** dim
+    nud_l = nvc * dim
+    lo, hi = (0, nud_l) if which == "u" else (nud_l, nud_l + nvc)
+    fin = level_ops[-1]
+    gather = fin.gather_u if which == "u" else fin.gather_p
+    free = fin.free_u if which == "u" else fin.free_p
+    if f64_op:
+        op = _masked_op(jac64, gather64, free, lo, hi)
+    else:
+        op = _masked_op(fin.jac, gather, free, lo, hi)
+    M32 = make_vcycle(level_ops, dim=dim, which=which, degree=degree)
+    vdtype = jac64.dtype if f64_op else fin.jac.dtype
+    M = (lambda r: M32(r.astype(fin.jac.dtype)).astype(vdtype)) \
+        if f64_op else M32
+
+    def cond(s):
+        x, r, z, pvec, rz, k, k0, xb, rrb = s
+        return (jnp.vdot(r, r).real > tol2) & (k - k0 < chunk)
+
+    def body(s):
+        x, r, z, pvec, rz, k, k0, xb, rrb = s
+        Ap = op(pvec)
+        denom = jnp.vdot(pvec, Ap)
+        alpha = jnp.where(denom != 0, rz / denom, 0.0)
+        x = x + alpha * pvec
+        r = r - alpha * Ap
+        rr = jnp.vdot(r, r).real
+        better = rr < rrb
+        xb = jnp.where(better, x, xb)
+        rrb = jnp.where(better, rr, rrb)
+        z = M(r)
+        rz_new = jnp.vdot(r, z)
+        beta = jnp.where(rz != 0, rz_new / rz, 0.0)
+        pvec = z + beta * pvec
+        return x, r, z, pvec, rz_new, k + 1, k0, xb, rrb
+
+    x, r, z, pvec, rz, k, xb, rrb = state
+    s = jax.lax.while_loop(cond, body, (x, r, z, pvec, rz, k, k, xb, rrb))
+    out = s[:6] + (s[7], s[8])
+    return out, s[8]
+
+
+@partial(jax.jit, static_argnames=("dim", "which", "degree"))
+def _first_z(level_ops, b, *, dim: int, which: str, degree: int):
+    M = make_vcycle(level_ops, dim=dim, which=which, degree=degree)
+    z = M(b)
+    return z, jnp.vdot(b, z)
+
+
+def solve_cg_block(hier: GalerkinHierarchy, jac_fine, ca_fine, con,
+                   active, rhs_u, rhs_p, rtol, atol, *, dim: int,
+                   maxiter: int, chunk: int = 50, degree: int = 2,
+                   jac64=None, ca64=None):
+    """Galerkin-GMG-preconditioned block-triangular CG on the stored
+    element matrices (the AMG+GMRES analogue, cracks.cc:2762-2771).
+
+    jac_fine/ca_fine set the V-cycle dtype (float32 in production).
+    With jac64/ca64 given, the CG itself runs in float64 on those
+    matrices (mixed-precision-preconditioner mode).
+
+    Returns (du, dp, iters) on the FREE subspace."""
+    level_ops = _build_ops(hier.levels, hier.P_embed, jac_fine, ca_fine,
+                           active, con.dirichlet_u, con.dirichlet_p,
+                           con.hang_mask_u, con.hang_mask_p, dim=dim)
+    f64_op = jac64 is not None
+    if not f64_op:
+        jac64 = jac_fine
+    vdt = jac64.dtype if f64_op else jac_fine.dtype
+    eps = float(jnp.finfo(vdt).eps)
+
+    nvc = 2 ** dim
+    nud_l = nvc * dim
+
+    def run_block(which, b):
+        b = b.astype(vdt)
+        gather64 = (ca64.gather_u if which == "u" else ca64.gather_p) \
+            if f64_op else (ca_fine.gather_u if which == "u"
+                            else ca_fine.gather_p)
+        lo, hi = (0, nud_l) if which == "u" else (nud_l, nud_l + nvc)
+        fin_free = (level_ops[-1].free_u if which == "u"
+                    else level_ops[-1].free_p)
+        op64 = _masked_op(jac64, gather64, fin_free, lo, hi)
+        bnorm = float(jnp.sqrt(jnp.vdot(b, b).real))
+        # overall target, floored at ~100 eps relative (below that CG
+        # stagnates on rounding noise while the iterate drifts)
+        target2 = max(rtol * bnorm, atol, 100.0 * eps * bnorm) ** 2
+
+        # Restarted refinement passes: a float32 preconditioner adds
+        # ~1e-7-relative noise per application, which makes a single
+        # long CG crawl through its final decades.  Each pass therefore
+        # only solves to 1e-6 relative and RESTARTS on the exact f64
+        # residual — the restart rescales the noise to the new rhs and
+        # the next pass converges at full speed again.
+        x_acc = jnp.zeros_like(b)
+        r_cur = b
+        rr_cur = bnorm * bnorm
+        its = 0
+        for _ in range(4):
+            tol2 = max(np.sqrt(rr_cur) * max(rtol, 1e-6),
+                       np.sqrt(target2)) ** 2
+            z0, _ = _first_z(level_ops, r_cur.astype(jac_fine.dtype),
+                             dim=dim, which=which, degree=degree)
+            z0 = z0.astype(vdt)
+            state = (jnp.zeros_like(b), r_cur, z0, z0,
+                     jnp.vdot(r_cur, z0), jnp.asarray(0),
+                     jnp.zeros_like(b), jnp.asarray(rr_cur, vdt))
+            rr = rr_cur
+            stalled = False
+            while rr > tol2 and int(state[5]) < maxiter - its:
+                prev_rr = rr
+                state, rr_dev = _cg_chunk(level_ops, jac64, gather64,
+                                          state, tol2, dim=dim,
+                                          which=which, chunk=chunk,
+                                          degree=degree, f64_op=f64_op)
+                rr = float(rr_dev)
+                if not np.isfinite(rr) or rr > 0.5 * prev_rr:
+                    stalled = True  # keep the best iterate, stop pass
+                    break
+            its += int(state[5])
+            x_try = x_acc + state[6]
+            r_try = b - op64(x_try)
+            rr_try = float(jnp.vdot(r_try, r_try).real)
+            if not np.isfinite(rr_try) or rr_try >= rr_cur:
+                break  # no progress: keep the previous accumulate
+            progress = rr_try / max(rr_cur, 1e-300)
+            x_acc, r_cur, rr_cur = x_try, r_try, rr_try
+            if rr_cur <= target2 or its >= maxiter:
+                break
+            if stalled and progress > 1e-4:
+                break  # at the arithmetic floor — restarts won't help
+        return x_acc, its
+
+    du, it_u = run_block("u", rhs_u)
+    cjac = jac64 if f64_op else jac_fine
+    cca = ca64 if f64_op else ca_fine
+    rhs_p2 = assembled._coupling_rhs(cjac, cca, con, active,
+                                     du.astype(cjac.dtype),
+                                     rhs_p.astype(cjac.dtype), dim=dim)
+    dp, it_p = run_block("p", rhs_p2)
+    return du, dp, it_u + it_p

@@ -65,6 +65,10 @@ def _solve(sys, u, phi, phi_old, phi_oold, con, active, rhs_u, rhs_p,
                 monolithic=sys.monolithic)
         except RuntimeError:
             pass  # exactly singular factor -> CG below
+    if (p.assembled_matvec
+            and getattr(sys, "galerkin_hierarchy", None) is not None):
+        return _solve_assembled(sys, u, phi, phi_old, phi_oold, con,
+                                active, rhs_u, rhs_p, with_split)
     if getattr(sys, "hierarchy", None) is not None:
         du, dp, iters = linear.solve_cg_gmg(
             u, phi, phi_old, phi_oold, sys.ca, sys.scalars, con, active,
@@ -72,6 +76,9 @@ def _solve(sys, u, phi, phi_old, phi_oold, con, active, rhs_u, rhs_p,
             dim=sys.dim, with_split=with_split, monolithic=sys.monolithic,
             maxiter=p.cg_maxiter)
         return du, dp, int(iters)
+    if p.assembled_matvec:
+        return _solve_assembled(sys, u, phi, phi_old, phi_oold, con,
+                                active, rhs_u, rhs_p, with_split)
     kw = dict(dim=sys.dim, with_split=with_split, monolithic=sys.monolithic)
     total_its = 0
     du = dp = None
@@ -127,6 +134,109 @@ def _solve(sys, u, phi, phi_old, phi_oold, con, active, rhs_u, rhs_p,
     return du, dp, total_its
 
 
+def _solve_assembled(sys, u, phi, phi_old, phi_oold, con, active,
+                     rhs_u, rhs_p, with_split):
+    """Stored-element-matrix solve (solvers/assembled.py): the element
+    Jacobians are built once per Newton iteration, every Krylov
+    iteration is a batched dense matvec.  Mixed precision follows the
+    iterative-refinement scheme: capped f32 Krylov pass, f64 correction
+    solve to the requested tolerance (relative to the original rhs)."""
+    from . import assembled
+    from ..ops.constraints import Constraints as _C, expand_update
+    p = sys.params
+    kw = dict(dim=sys.dim, with_split=with_split, monolithic=sys.monolithic)
+    n_ud, n_v = u.shape[0], phi.shape[0]
+    total_its = 0
+    du = dp = None
+    bnorm0 = float(jnp.sqrt(jnp.vdot(rhs_u, rhs_u).real
+                            + jnp.vdot(rhs_p, rhs_p).real))
+    ghier = getattr(sys, "galerkin_hierarchy", None)
+
+    def krylov(jac_, ca_, con_, active_, bu, bp, rtol, atol, maxiter):
+        if ghier is not None:
+            from . import galerkin
+            return galerkin.solve_cg_block(
+                ghier, jac_, ca_, con_, active_, bu, bp, rtol, atol,
+                dim=sys.dim, maxiter=maxiter, chunk=p.cg_chunk)
+        d_u, d_p = assembled.diagonals(jac_, ca_, n_ud, n_v, dim=sys.dim)
+        return assembled.solve_cg_block(
+            jac_, ca_, con_, active_, bu, bp, d_u, d_p, rtol, atol,
+            dim=sys.dim, maxiter=maxiter, chunk=p.cg_chunk)
+
+    if getattr(sys, "ca32", None) is not None:
+        f32 = lambda x: jnp.asarray(x, dtype=jnp.float32)
+        con32 = _C(*(f32(v) if v.dtype == jnp.float64 else v for v in con))
+        sc32 = physics.Scalars(*(f32(v) for v in sys.scalars))
+        args32 = (f32(u), f32(phi), f32(phi_old), f32(phi_oold))
+        jac32 = assembled.build_jacobians(*args32, sys.ca32, sc32, **kw)
+        jac = assembled.build_jacobians(u, phi, phi_old, phi_oold,
+                                        sys.ca, sys.scalars, **kw)
+        if ghier is not None:
+            # float64 CG with the float32 Galerkin V-cycle as
+            # preconditioner: full f64 accuracy, and the expensive
+            # V-cycle (smoothers, coarse Cholesky) compiles and runs
+            # entirely in f32.
+            from . import galerkin
+            du, dp, its = galerkin.solve_cg_block(
+                ghier, jac32, sys.ca32, con, active, rhs_u, rhs_p,
+                p.cg_rtol, 1e-300, dim=sys.dim, maxiter=p.cg_maxiter,
+                chunk=p.cg_chunk, jac64=jac, ca64=sys.ca)
+            total_its += int(its)
+            du, dp = expand_update(du, dp, con, active)
+            return du, dp, total_its
+        # Jacobi mode: iterative refinement — f32 Krylov passes, f64
+        # stored-matrix residual updates between passes; a stalling
+        # pass falls back to a f64 Jacobi-CG finish.
+        target = max(p.cg_rtol * bnorm0, 1e-300)
+        du = jnp.zeros_like(u)
+        dp = jnp.zeros_like(phi)
+        ru, rp = rhs_u, rhs_p
+        rnorm = bnorm0
+        for _ in range(8):
+            cu32, cp32, its = krylov(
+                jac32, sys.ca32, con32, active, f32(ru), f32(rp),
+                max(p.cg_rtol, 1e-4), 1e-300,
+                min(p.cg_maxiter, 4 * p.cg_chunk))
+            total_its += int(its)
+            du_try = du + jnp.asarray(cu32, dtype=u.dtype)
+            dp_try = dp + jnp.asarray(cp32, dtype=u.dtype)
+            ru2, rp2 = assembled.residual_update(
+                jac, sys.ca, con, active, du_try, dp_try, rhs_u, rhs_p,
+                dim=sys.dim)
+            rnorm2 = float(jnp.sqrt(jnp.vdot(ru2, ru2).real
+                                    + jnp.vdot(rp2, rp2).real))
+            if np.isfinite(rnorm2) and rnorm2 < 0.2 * rnorm:
+                # accept the f32 correction
+                du, dp, ru, rp, rnorm = du_try, dp_try, ru2, rp2, rnorm2
+                if rnorm <= target:
+                    break
+                continue
+            # f32 floor, or overflow garbage on a noise-level rhs (this
+            # happens when Newton continues past the f64 residual floor
+            # because the active set still changes): discard the
+            # unaccepted correction and finish in f64 Jacobi-CG.
+            d_u, d_p = assembled.diagonals(jac, sys.ca, n_ud, n_v,
+                                           dim=sys.dim)
+            cu, cp, it64 = assembled.solve_cg_block(
+                jac, sys.ca, con, active, ru, rp, d_u, d_p,
+                p.cg_rtol, target, dim=sys.dim,
+                maxiter=p.cg_maxiter, chunk=p.cg_chunk)
+            total_its += int(it64)
+            du = du + cu
+            dp = dp + cp
+            break
+        du, dp = expand_update(du, dp, con, active)
+        return du, dp, total_its
+
+    jac = assembled.build_jacobians(u, phi, phi_old, phi_oold, sys.ca,
+                                    sys.scalars, **kw)
+    du, dp, its = krylov(jac, sys.ca, con, active, rhs_u, rhs_p,
+                         p.cg_rtol, 1e-300, p.cg_maxiter)
+    total_its += int(its)
+    du, dp = expand_update(du, dp, con, active)
+    return du, dp, total_its
+
+
 from functools import partial
 
 import jax
@@ -141,7 +251,14 @@ def _fused_active_set_update(u, phi, phi_old, phi_oold, tot_p, active_old,
     the bookkeeping scalars (cracks.cc:2822-2918)."""
     gap = phi - phi_old
     indicator = tot_p / diag_mass + c_weight * gap
-    active = ((indicator > 0.0) | cycling) & ~hang_mask
+    # The reference tests `indicator > 0` (cracks.cc:2865) and relies on
+    # the bulk residual being EXACTLY zero away from the crack.  TPU
+    # float64 emulation leaves ~1e-18 noise there, which would activate
+    # tens of thousands of bulk dofs on the sign of rounding error; the
+    # tiny absolute floor is far below any genuine activation (those are
+    # O(stress) ~ O(G_c/eps)) and far above arithmetic noise.
+    atol = 1e-12 * jnp.maximum(c_weight, 1.0)
+    active = ((indicator > atol) | cycling) & ~hang_mask
     phi = jnp.where(active, phi_old, phi)
     phi = hanging_interpolate_p(phi, con)
     u = hanging_interpolate_u(u, con)

@@ -90,9 +90,25 @@ def test_gmg_beats_jacobi_on_elasticity():
     rng = np.random.default_rng(0)
     rhs_u = jnp.asarray(rng.normal(size=n_v * 2))
     rhs_u, rhs_p = condense_residual(rhs_u, jnp.zeros(n_v), con, active)
+    # build the legacy rediscretized hierarchy explicitly (the driver now
+    # prefers the Galerkin hierarchy, solvers/galerkin.py)
+    from cracks_tpu import problems
+    from cracks_tpu.solvers import multigrid
+    p = sim.p
+
+    def lam_fn(m):
+        return problems.cell_lame_fields(p, m, None)
+
+    def dirichlet_fn(m):
+        mu_, _, mp_, _ = problems.dirichlet_conditions(
+            p, m, 0.0, initial_step=False)
+        return mu_, mp_
+
+    hierarchy = multigrid.build_hierarchy(
+        sim.forest, sim.mesh, p, lam_fn, dirichlet_fn)
     _, _, it_g = linear.solve_cg_gmg(
         u, phi1, phi1, phi1, sim.sys.ca, sc, con, active, rhs_u, rhs_p,
-        sim.sys.hierarchy, 1e-8, 1e-300, maxiter=2000, **kw)
+        hierarchy, 1e-8, 1e-300, maxiter=2000, **kw)
     dgs = physics.jacobi_diagonal_approx(u, phi1, phi1, phi1, sim.sys.ca,
                                          sc, dim=2, monolithic=False)
     _, _, it_j = linear.solve_cg_block(
