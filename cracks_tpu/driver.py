@@ -644,23 +644,22 @@ class Simulation:
         return self.sys.mu_cells
 
     def _write_cod_profile(self, state: SolutionState):
-        """compute_functional_values (cracks.cc:3704-3725): COD at lines
-        x in [-1.5, 1.5]."""
+        """compute_functional_values (cracks.cc:3704-3725): the full
+        769-line COD sweep over x in [-1.5, 1.5] (one batched
+        face-geometry pass, qoi.compute_cod_sweep)."""
         if not self.p.output_dir:
             return
         if self.mesh.dim != 2:
             return
         N = 16 * 16
         dx = 1.0 / N
+        xs = -1.5 + np.arange(3 * N + 1) * dx
+        vals = qoi.compute_cod_sweep(self.mesh, self._u_mat(state),
+                                     np.asarray(state.phi), xs)
         path = os.path.join(self.p.output_dir,
                             f"cod-{self.timestep_number:02d}b.txt")
         with open(path, "w") as f:
-            for i in range(0, 3 * N + 1, 8):  # coarser sweep than the
-                # reference's 769 lines for tractability; full sweep via
-                # qoi.compute_cod on demand
-                x = -1.5 + i * dx
-                v = qoi.compute_cod(self.mesh, self._u_mat(state),
-                                    np.asarray(state.phi), x)
+            for x, v in zip(xs, vals):
                 if v > -1e100:
                     f.write(f"{x} {v}\n")
 

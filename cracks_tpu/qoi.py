@@ -165,38 +165,80 @@ def compute_cod(mesh: MeshData, u, phi, eval_line: float):
 def compute_cod_array(mesh: MeshData, u, phi, n_buckets: int = 75,
                       n_iter: int = 100):
     """Bucketed COD profile over x in [-1.5, 1.5] using an iterated
-    midpoint rule (cracks.cc:3323-3449).  Returns (x, values, exact)."""
+    midpoint rule (cracks.cc:3323-3449).  Returns (x, values, exact).
+
+    Matches the reference's QIterated(QMidpoint, 100) resolution in 2d
+    (n_iter midpoints per axis), processing cells in chunks to bound
+    memory; 3d keeps a reduced rule (the reference only evaluates this
+    for the 2d Sneddon benchmark)."""
     x1, x2 = -1.5, 1.5
-    # The reference uses QIterated(QMidpoint, 100): 100^dim midpoints.
-    # That is prohibitively many points; we use an n_iter midpoint rule
-    # per axis capped for tractability.
-    n1 = min(n_iter, 20)
+    n1 = n_iter if mesh.dim == 2 else min(n_iter, 20)
     axis = (np.arange(n1) + 0.5) / n1
     grids = np.meshgrid(*([axis] * mesh.dim), indexing="ij")
     pts = np.stack([g.ravel() for g in grids], axis=1)
     wq = np.full(len(pts), 1.0 / len(pts))
     sv = q1_shape_values(pts, mesh.dim)
     sg = q1_shape_grads(pts, mesh.dim)
-    X = mesh.cell_coords
-    J = np.einsum("cad,qae->cqde", X, sg)
-    detJ = np.linalg.det(J)
-    invJ = np.linalg.inv(J)
-    grads = np.einsum("qae,cqed->cqad", sg, invJ)
-    JxW = detJ * wq[None, :]
-    qx = np.einsum("qa,cad->cqd", sv, X)
-    u_q = np.einsum("qa,cad->cqd", sv, u[mesh.cell2vert])
-    grad_pf = np.einsum("ca,cqad->cqd", phi[mesh.cell2vert], grads)
-    cod_q = np.einsum("cqd,cqd->cq", u_q, grad_pf) * JxW
-
-    idx = np.floor((qx[..., 0] - x1) / (x2 - x1) * n_buckets + 0.5).astype(int)
-    valid = (idx >= 0) & (idx < n_buckets)
     values = np.zeros(n_buckets)
-    np.add.at(values, idx[valid], cod_q[valid])
     width = (x2 - x1) / n_buckets
+    # only cells overlapping the sweep window contribute
+    lo = mesh.cell_coords[..., 0].min(axis=1)
+    hi = mesh.cell_coords[..., 0].max(axis=1)
+    cand = np.where((hi >= x1 - width) & (lo <= x2 + width))[0]
+    chunk = max(1, 2 ** 22 // max(len(pts), 1))
+    for s in range(0, len(cand), chunk):
+        sel = cand[s:s + chunk]
+        X = mesh.cell_coords[sel]
+        J = np.einsum("cad,qae->cqde", X, sg)
+        detJ = np.linalg.det(J)
+        invJ = np.linalg.inv(J)
+        grads = np.einsum("qae,cqed->cqad", sg, invJ)
+        JxW = detJ * wq[None, :]
+        qx = np.einsum("qa,cad->cqd", sv, X)
+        u_q = np.einsum("qa,cad->cqd", sv, u[mesh.cell2vert[sel]])
+        grad_pf = np.einsum("ca,cqad->cqd", phi[mesh.cell2vert[sel]], grads)
+        cod_q = np.einsum("cqd,cqd->cq", u_q, grad_pf) * JxW
+        idx = np.floor((qx[..., 0] - x1) / (x2 - x1) * n_buckets
+                       + 0.5).astype(int)
+        valid = (idx >= 0) & (idx < n_buckets)
+        np.add.at(values, idx[valid], cod_q[valid])
     values = values / width / 2.0
     xs = x1 + np.arange(n_buckets) * width
     exact = 1.92e-3 * np.sqrt(np.maximum(0.0, 1.0 - xs**2))
     return xs, values, exact
+
+
+def compute_cod_sweep(mesh: MeshData, u, phi, lines: np.ndarray,
+                      eps: float = 1e-8):
+    """COD at MANY x-lines in one batched pass (the full 769-line
+    cod-NNb.txt sweep, cracks.cc:3704-3725).
+
+    One face-geometry pass over all x-normal faces computes each face's
+    COD contribution; per line the answer is a bincount over faces
+    whose constant x-coordinate matches.  Returns an array of COD
+    values with the reference's -1e300 sentinel where no face lies on
+    the line."""
+    lines = np.asarray(lines, dtype=np.float64)
+    n_c = mesh.n_cells
+    cells = np.repeat(np.arange(n_c), 2)
+    faces = np.tile(np.array([0, 1], dtype=np.int32), n_c)
+    sv, grad_real, _, JxW_f, qx = _face_geometry(mesh, cells, faces)
+    fx = qx[:, 0, 0]                                  # faces are x-const
+    u_e = u[mesh.cell2vert[cells]]
+    phi_e = phi[mesh.cell2vert[cells]]
+    u_q = np.einsum("nqa,nad->nqd", sv, u_e)
+    grad_pf = np.einsum("na,nqad->nqd", phi_e, grad_real)
+    contrib = 0.5 * np.einsum("nqd,nqd->n", u_q * JxW_f[..., None],
+                              grad_pf)
+    # match faces to lines: both sorted, pair within eps
+    order = np.argsort(fx)
+    fxs = fx[order]
+    cs = contrib[order]
+    left = np.searchsorted(fxs, lines - eps, side="left")
+    right = np.searchsorted(fxs, lines + eps, side="right")
+    csum = np.concatenate([[0.0], np.cumsum(cs)])
+    vals = (csum[right] - csum[left]) / 2.0
+    return np.where(right > left, vals, -1e300)
 
 
 def sneddon_phi_l2_error(mesh: MeshData, phi, alpha_eps: float):

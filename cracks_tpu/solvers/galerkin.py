@@ -400,6 +400,136 @@ def make_vcycle(level_ops: tuple, *, dim: int, which: str,
 
 
 # ---------------------------------------------------------------------------
+# fully fused Newton-system solve (ONE device dispatch)
+# ---------------------------------------------------------------------------
+#
+# Dispatch latency through the TPU tunnel is ~100-300 ms; the chunked
+# host-driven solve costs ~15 round trips per Newton iteration, which
+# dominated wall-clock (measured 36 s/load-step at 78k dofs where the
+# compute itself is ~2 s).  This entry traces the WHOLE solve — float64
+# element-Jacobian build, float32 cast, Galerkin coarsening, both block
+# solves with restarted refinement passes — as one XLA computation.
+
+@partial(jax.jit, static_argnames=("dim", "with_split", "monolithic",
+                                   "degree", "inner_max", "passes"))
+def solve_newton_system(u, phi, phi_old, phi_oold, ca64, sc, levels,
+                        P_embed, con, active, rhs_u, rhs_p, rtol,
+                        *, dim: int, with_split: bool, monolithic: bool,
+                        degree: int = 2, inner_max: int = 64,
+                        passes: int = 3):
+    """Returns (du, dp, iters, rnorm2) on the free subspace.
+
+    float64 CG on the exact element Jacobians, preconditioned by the
+    float32 Galerkin V-cycle; restarted refinement passes against the
+    exact f64 residual absorb the f32 preconditioner noise."""
+    jac64 = physics.element_matrices(
+        u, phi, phi_old, phi_oold, ca64, sc, dim=dim,
+        with_split=with_split, monolithic=monolithic, cell_last=True)
+    jac32 = jac64.astype(jnp.float32)
+    hier = GalerkinHierarchy(levels=levels, P_embed=P_embed, dim=dim)
+    level_ops = build_level_ops(
+        hier, jac32, ca64, active, con.dirichlet_u, con.dirichlet_p,
+        con.hang_mask_u, con.hang_mask_p,
+        con.dirichlet_u.shape[0], con.dirichlet_p.shape[0], dim=dim)
+    nvc = 2 ** dim
+    nud_l = nvc * dim
+    eps64 = float(jnp.finfo(jnp.float64).eps)
+
+    def block_solve(which, b):
+        lo, hi = (0, nud_l) if which == "u" else (nud_l, nud_l + nvc)
+        fin = level_ops[-1]
+        gather = ca64.gather_u if which == "u" else ca64.gather_p
+        free = fin.free_u if which == "u" else fin.free_p
+        op = _masked_op(jac64, gather, free, lo, hi)
+        op32 = _masked_op(jac32, gather, free, lo, hi)
+        M32 = make_vcycle(level_ops, dim=dim, which=which, degree=degree)
+        bnorm = jnp.sqrt(jnp.vdot(b, b).real)
+        target2 = jnp.maximum(rtol * bnorm, 100.0 * eps64 * bnorm) ** 2
+
+        def one_pass(r0, rr0):
+            # the pass runs ENTIRELY in float32 (matvec included —
+            # TPU-emulated f64 costs ~6x); float64 appears only in the
+            # exact residual the caller computes between passes.
+            # Normalize so the f32 Krylov works near unit scale even on
+            # noise-level right-hand sides.
+            scale = jnp.sqrt(rr0)
+            inv_scale = jnp.where(scale > 0, 1.0 / scale, 0.0)
+            r0s = (r0 * inv_scale).astype(jnp.float32)
+            tol2 = jnp.asarray(
+                jnp.maximum(jnp.maximum(rtol, 1e-5) ** 2,
+                            jnp.where(rr0 > 0, target2 / rr0, 1.0)),
+                jnp.float32)
+            z0 = M32(r0s)
+
+            def cond(s):
+                x, r, z, pvec, rz, k, xb, rrb = s
+                return (rrb > tol2) & (k < inner_max)
+
+            def body(s):
+                x, r, z, pvec, rz, k, xb, rrb = s
+                Ap = op32(pvec)
+                denom = jnp.vdot(pvec, Ap)
+                alpha = jnp.where(denom != 0, rz / denom, 0.0)
+                x = x + alpha * pvec
+                r = r - alpha * Ap
+                rr = jnp.vdot(r, r).real
+                better = rr < rrb
+                xb = jnp.where(better, x, xb)
+                rrb = jnp.where(better, rr, rrb)
+                z = M32(r)
+                rz_new = jnp.vdot(r, z)
+                beta = jnp.where(rz != 0, rz_new / rz, 0.0)
+                pvec = z + beta * pvec
+                return x, r, z, pvec, rz_new, k + 1, xb, rrb
+
+            s0 = (jnp.zeros_like(r0s), r0s, z0, z0, jnp.vdot(r0s, z0),
+                  jnp.asarray(0), jnp.zeros_like(r0s),
+                  jnp.asarray(1.0, jnp.float32))
+            s = jax.lax.while_loop(cond, body, s0)
+            dx = s[6].astype(jnp.float64) * scale
+            return dx, s[5]  # best iterate (rescaled), iterations
+
+        def outer_body(carry):
+            x_acc, r_cur, rr_cur, its, done = carry
+            dx, k = one_pass(r_cur, rr_cur)
+            x_try = x_acc + dx
+            r_try = b - op(x_try)
+            rr_try = jnp.vdot(r_try, r_try).real
+            ok = jnp.isfinite(rr_try) & (rr_try < rr_cur)
+            x_acc = jnp.where(ok, x_try, x_acc)
+            r_cur = jnp.where(ok, r_try, r_cur)
+            rr_new = jnp.where(ok, rr_try, rr_cur)
+            # done when converged, or stagnated at the arithmetic floor
+            # (a pass that couldn't even halve the residual norm);
+            # slow-but-real progress (inner_max-bounded) continues
+            done = (~ok) | (rr_new <= target2) | (rr_new > 0.25 * rr_cur)
+            return x_acc, r_cur, rr_new, its + k, done
+
+        def outer_cond(carry):
+            _, _, rr_cur, its, done = carry
+            return (~done) & (rr_cur > target2)
+
+        rr_b = jnp.vdot(b, b).real
+        carry = (jnp.zeros_like(b), b, rr_b, jnp.asarray(0),
+                 jnp.asarray(False))
+        # run at least one pass, then up to `passes` total
+        carry = outer_body(carry)
+        for _ in range(passes - 1):
+            carry = jax.lax.cond(outer_cond(carry), outer_body,
+                                 lambda c: c, carry)
+        x_acc, r_cur, rr_cur, its, _ = carry
+        return x_acc, its, rr_cur
+
+    du, it_u, rr_u = block_solve("u", rhs_u)
+    n_p = con.dirichlet_p.shape[0]
+    _, _, op_pu = assembled.make_condensed_ops(jac64, ca64, con, active,
+                                               n_p, dim=dim)
+    rhs_p2 = rhs_p - op_pu(du)
+    dp, it_p, rr_p = block_solve("p", rhs_p2)
+    return du, dp, it_u + it_p, rr_u + rr_p
+
+
+# ---------------------------------------------------------------------------
 # the preconditioned solve (block-triangular CG, chunked dispatches)
 # ---------------------------------------------------------------------------
 

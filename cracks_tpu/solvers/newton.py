@@ -163,6 +163,22 @@ def _solve_assembled(sys, u, phi, phi_old, phi_oold, con, active,
             jac_, ca_, con_, active_, bu, bp, d_u, d_p, rtol, atol,
             dim=sys.dim, maxiter=maxiter, chunk=p.cg_chunk)
 
+    if getattr(sys, "ca32", None) is not None and ghier is not None:
+        # ONE device dispatch for the whole solve: f64 element-Jacobian
+        # build, f32 Galerkin V-cycle preconditioner, f64 CG with
+        # restarted refinement passes (galerkin.solve_newton_system).
+        # Dispatch latency through the TPU tunnel is ~100-300 ms, so
+        # fusing the solve dominates everything else at small sizes.
+        from . import galerkin
+        du, dp, its, _rr = galerkin.solve_newton_system(
+            u, phi, phi_old, phi_oold, sys.ca, sys.scalars,
+            ghier.levels, ghier.P_embed, con, active, rhs_u, rhs_p,
+            p.cg_rtol, dim=sys.dim, with_split=with_split,
+            monolithic=sys.monolithic)
+        total_its += int(its)
+        du, dp = expand_update(du, dp, con, active)
+        return du, dp, total_its
+
     if getattr(sys, "ca32", None) is not None:
         f32 = lambda x: jnp.asarray(x, dtype=jnp.float32)
         con32 = _C(*(f32(v) if v.dtype == jnp.float64 else v for v in con))
@@ -171,19 +187,6 @@ def _solve_assembled(sys, u, phi, phi_old, phi_oold, con, active,
         jac32 = assembled.build_jacobians(*args32, sys.ca32, sc32, **kw)
         jac = assembled.build_jacobians(u, phi, phi_old, phi_oold,
                                         sys.ca, sys.scalars, **kw)
-        if ghier is not None:
-            # float64 CG with the float32 Galerkin V-cycle as
-            # preconditioner: full f64 accuracy, and the expensive
-            # V-cycle (smoothers, coarse Cholesky) compiles and runs
-            # entirely in f32.
-            from . import galerkin
-            du, dp, its = galerkin.solve_cg_block(
-                ghier, jac32, sys.ca32, con, active, rhs_u, rhs_p,
-                p.cg_rtol, 1e-300, dim=sys.dim, maxiter=p.cg_maxiter,
-                chunk=p.cg_chunk, jac64=jac, ca64=sys.ca)
-            total_its += int(its)
-            du, dp = expand_update(du, dp, con, active)
-            return du, dp, total_its
         # Jacobi mode: iterative refinement — f32 Krylov passes, f64
         # stored-matrix residual updates between passes; a stalling
         # pass falls back to a f64 Jacobi-CG finish.
@@ -347,11 +350,15 @@ def newton_active_set(sys, state, time: float, verbose: bool = True):
             u, phi, state.phi_old, state.phi_oold, tot_p, active_old,
             cycling, hang_mask, diag_mass, c_weight, sys.ca, sys.scalars,
             con, dim=sys.dim, with_split=with_split)
-        n_cycling_dofs = int(n_cyc_d)
-        n_active = int(n_active_d)
-        num_changed = int(changed_d)
+        # one bulk transfer for all host-needed scalars (each separate
+        # int()/np.asarray costs a full tunnel round trip)
+        n_cyc_h, n_act_h, chg_h, left_h = jax.device_get(
+            (n_cyc_d, n_active_d, changed_d, left_d))
+        n_cycling_dofs = int(n_cyc_h)
+        n_active = int(n_act_h)
+        num_changed = int(chg_h)
         # cycle detection: count dofs that LEFT the set (cracks.cc:2901-2907)
-        cycle_counter[np.asarray(left_d)] += 1
+        cycle_counter[left_h] += 1
 
         # ---- solve (cracks.cc:2919) ----
         du, dp, n_lin = _solve(sys, u, phi, state.phi_old, state.phi_oold,

@@ -1,0 +1,50 @@
+"""Multi-device golden parity: the production PDAS solver on an
+8-device mesh must reproduce the single-device statistics.
+
+This is the analogue of the reference's np1/np2 golden pair
+(tests/miehe_shear_2.statistics vs .mpirun=2.statistics, compared with
+numdiff -a 1e-6 -r 1e-8, tests/run_test.sh:13): the same simulation is
+run with the element arrays sharded over all 8 virtual devices
+(driver System n_devices=8, GSPMD partitioning with ICI collectives
+inserted by XLA) through the FULL production stack — PDAS active-set
+Newton, stored-element-matrix CG, Galerkin GMG preconditioner — and
+the statistics table must agree with the 1-device run and the golden
+reference data within numdiff tolerances."""
+
+import numpy as np
+import pytest
+
+from cracks_tpu.driver import run_prm
+
+from .regression import PRM_DIR, load_golden, parse_statistics
+
+
+def _run(n_devices, tmp_path, **overrides):
+    sim, _ = run_prm(f"{PRM_DIR}/miehe_shear_2.prm",
+                     output_dir=str(tmp_path / f"np{n_devices}"),
+                     max_no_timesteps=3, n_devices=n_devices,
+                     linear_solver="cg", preconditioner="gmg",
+                     cg_rtol=1e-10, **overrides)
+    return parse_statistics(sim.statistics.write_text())
+
+
+@pytest.mark.parametrize("mixed", [False, True],
+                         ids=["f64", "mixed-fused"])
+def test_miehe_shear2_np1_equals_np8(tmp_path, mixed):
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    names1, rows1 = _run(1, tmp_path, mixed_precision_cg=mixed)
+    names8, rows8 = _run(8, tmp_path, mixed_precision_cg=mixed)
+    assert names1 == names8
+    assert rows1.shape == rows8.shape
+    diff = np.abs(rows1 - rows8)
+    rel = diff / np.maximum(np.abs(rows1), 1e-300)
+    assert ((diff <= 1e-6) | (rel <= 1e-8)).all(), (rows1, rows8)
+
+    # and both match the reference golden rows (numdiff tolerances)
+    g_names, g_rows = load_golden("miehe_shear_2.statistics")
+    g = g_rows[: rows8.shape[0]]
+    diff = np.abs(rows8[:, : g.shape[1]] - g)
+    rel = diff / np.maximum(np.abs(g), 1e-300)
+    assert ((diff <= 1e-6) | (rel <= 1e-8)).all(), (rows8, g)

@@ -93,3 +93,25 @@ def test_cod_array_profile():
     assert np.isfinite(vals).all()
     # the bucket grid does not hit x=0 exactly
     assert exact.max() == pytest.approx(1.92e-3, rel=1e-3)
+
+
+def test_cod_sweep_matches_per_line():
+    """The batched sweep (qoi.compute_cod_sweep) must agree with the
+    per-line COD at every line, including the -1e300 sentinel."""
+    forest = Forest(rect_mesh([-2, -2], [2, 2], [8, 8]))
+    forest.refine_global(1)
+    mesh = forest.extract()
+    rng = np.random.default_rng(3)
+    u = rng.standard_normal((mesh.n_vertices, 2)) * 1e-3
+    phi = rng.random(mesh.n_vertices)
+    xs = -1.5 + np.arange(0, 769, 48) * (1.0 / 256)
+    vals = qoi.compute_cod_sweep(mesh, u, phi, xs)
+    hits = 0
+    for x, v in zip(xs, vals):
+        ref = qoi.compute_cod(mesh, u, phi, float(x))
+        if ref > -1e100:
+            hits += 1
+            assert abs(v - ref) < 1e-12 * max(1.0, abs(ref)), (x, v, ref)
+        else:
+            assert v == -1e300
+    assert hits > 2
