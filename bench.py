@@ -18,7 +18,7 @@ Environment knobs:
                  (default 4 -> 25600 cells, 78k DoFs)
   BENCH_STEPS    timed load steps (default 2)
   BENCH_DTYPE    float64 (default) or float32
-  BENCH_PRECOND  jacobi (default) or gmg
+  BENCH_PRECOND  gmg (default) or jacobi
 """
 
 import json
@@ -74,7 +74,7 @@ def main():
     refine = int(os.environ.get("BENCH_REFINE", "4"))
     n_steps = int(os.environ.get("BENCH_STEPS", "2"))
     dtype = os.environ.get("BENCH_DTYPE", "float64")
-    precond = os.environ.get("BENCH_PRECOND", "jacobi")
+    precond = os.environ.get("BENCH_PRECOND", "gmg")
 
     # the shared TPU worker occasionally crashes/restarts under
     # sustained load; retry, then fall back to a smaller problem

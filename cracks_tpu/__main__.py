@@ -12,12 +12,24 @@ import sys
 def main(argv=None):
     argv = sys.argv[1:] if argv is None else argv
     if not argv:
+        # reference behavior (cracks.cc:4589-4594): no arguments runs
+        # the embedded unit tests, then emits a default.prm
+        rc = 0
+        import os
+        tests_dir = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "tests")
+        if os.path.isdir(tests_dir):
+            try:
+                import pytest
+                rc = pytest.main(["-q", "-x", tests_dir])
+            except ImportError:  # pragma: no cover
+                print("(pytest unavailable — skipping unit tests)")
         from .config import default_parameters, dump_parameters
         with open("default.prm", "w") as f:
             f.write(dump_parameters(default_parameters()))
         print("usage: python -m cracks_tpu <parameter_file>")
         print(" (created default.prm)")
-        return 0
+        return int(rc)
 
     from .config import load_parameters
     from .driver import Simulation

@@ -46,6 +46,7 @@ class SolutionState:
     phi_old: jnp.ndarray
     phi_oold: jnp.ndarray
     last_log: object = None
+    active_mask: object = None  # PDAS active set of the last solve
 
 
 class System:
@@ -367,7 +368,19 @@ class Simulation:
                 f"{self.output_counter:05d}.vtu")
         point_data = {"displacement": np.asarray(state.u).reshape(-1, self.mesh.dim),
                       "phasefield": np.asarray(state.phi)}
+        # VTU parity fields (cracks.cc:3142-3258): Sneddon exact-phi
+        # postprocessor, active-set mask, owner subdomain
+        if self.p.test_case == "sneddon":
+            point_data["exact_phi"] = qoi.sneddon_exact_phi(
+                self.mesh.vert_coords, self.alpha_eps)
+        if getattr(state, "active_mask", None) is not None \
+                and len(state.active_mask) == self.mesh.n_vertices:
+            point_data["active_set"] = np.asarray(
+                state.active_mask, dtype=float)
         cell_data = {"level": self.mesh.cell_level.astype(float)}
+        n_c = self.mesh.n_cells
+        cell_data["subdomain"] = (np.arange(n_c) * self.p.n_devices
+                                  // max(n_c, 1)).astype(float)
         if self.p.test_case == "multiple het":
             centers = self.mesh.cell_coords.mean(axis=1)
             cell_data["emodulus"] = 1.0 + self.bitmap.value(centers)

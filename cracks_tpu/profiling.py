@@ -50,7 +50,7 @@ class Timer:
             lines.append(
                 f"| {name:31s} | {self.calls[name]:9d} | {w:9.3g}s "
                 f"| {pct:9.2f}% |")
-        lines.append(lines[-0 if len(lines) == 4 else 3])
+        lines.append(lines[3])  # closing separator row
         return "\n".join(lines)
 
 

@@ -241,25 +241,33 @@ def compute_cod_sweep(mesh: MeshData, u, phi, lines: np.ndarray,
     return np.where(right > left, vals, -1e300)
 
 
-def sneddon_phi_l2_error(mesh: MeshData, phi, alpha_eps: float):
-    """|| phi - phi_exact ||_L2 with the Sneddon closed-form phase field
-    1 - exp(-dist/eps) (cracks.cc:417-455, 4495-4524)."""
-    t = element_tables(mesh.dim)
-    JxW, _ = cell_geometry(mesh.cell_coords, t)
-    qx = np.einsum("qa,cad->cqd", t.shape_v, mesh.cell_coords)
-    pf = np.einsum("qa,ca->cq", t.shape_v, phi[mesh.cell2vert])
-    xx = qx[..., 0]
-    dist_interior = (np.abs(qx[..., 1]) if mesh.dim == 2
-                     else np.sqrt(qx[..., 1] ** 2 + qx[..., 2] ** 2))
-    left = qx.copy()
+def sneddon_exact_phi(points: np.ndarray, alpha_eps: float) -> np.ndarray:
+    """Sneddon closed-form phase field 1 - exp(-dist/eps) at arbitrary
+    points, dist = distance to the slit [-1,1] x {0} (cracks.cc:417-455)."""
+    points = np.asarray(points)
+    xx = points[..., 0]
+    dist_interior = (np.abs(points[..., 1]) if points.shape[-1] == 2
+                     else np.sqrt(points[..., 1] ** 2 + points[..., 2] ** 2))
+    left = points.copy()
     left[..., 0] = -1.0
     left[..., 1:] = 0.0
     right = left.copy()
     right[..., 0] = 1.0
-    d_left = np.linalg.norm(qx - left, axis=-1)
-    d_right = np.linalg.norm(qx - right, axis=-1)
-    dist = np.where(xx < -1.0, d_left, np.where(xx > 1.0, d_right, dist_interior))
-    exact = 1.0 - np.exp(-dist / alpha_eps)
+    d_left = np.linalg.norm(points - left, axis=-1)
+    d_right = np.linalg.norm(points - right, axis=-1)
+    dist = np.where(xx < -1.0, d_left,
+                    np.where(xx > 1.0, d_right, dist_interior))
+    return 1.0 - np.exp(-dist / alpha_eps)
+
+
+def sneddon_phi_l2_error(mesh: MeshData, phi, alpha_eps: float):
+    """|| phi - phi_exact ||_L2 with the Sneddon closed-form phase field
+    (cracks.cc:417-455, 4495-4524)."""
+    t = element_tables(mesh.dim)
+    JxW, _ = cell_geometry(mesh.cell_coords, t)
+    qx = np.einsum("qa,cad->cqd", t.shape_v, mesh.cell_coords)
+    pf = np.einsum("qa,ca->cq", t.shape_v, phi[mesh.cell2vert])
+    exact = sneddon_exact_phi(qx, alpha_eps)
     return float(np.sqrt(np.sum((pf - exact) ** 2 * JxW)))
 
 

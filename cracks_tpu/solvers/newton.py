@@ -402,9 +402,10 @@ def newton_active_set(sys, state, time: float, verbose: bool = True):
 
     state.u = u
     state.phi = phi
+    state.active_mask = np.asarray(active)
     log.newton_steps = newton_step
     log.linear_iterations = sum_lin_it
-    log.active_set_size = int(jnp.sum(active))
+    log.active_set_size = int(state.active_mask.sum())
     state.last_log = log
     return new_newton_residual / old_newton_residual
 
