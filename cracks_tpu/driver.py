@@ -299,31 +299,11 @@ class Simulation:
         return flags
 
     def _kelly_estimator(self, state: SolutionState) -> np.ndarray:
-        """Gradient-jump (Kelly-style) error indicator on the displacement
-        (cracks.cc:4070-4083).  Vectorized approximation of deal.II's
-        KellyErrorEstimator: instead of face-jump integrals,
-        eta_K^2 = h_K/24 * sum_{v in K} |grad u_K - mean_v(grad u)|^2,
-        where mean_v averages the cell gradients incident to vertex v —
-        the same jump information, one scatter/gather pass.  (The 'mix'
-        strategy using this is not exercised by the golden suite.)"""
-        mesh = self.mesh
-        dim = mesh.dim
-        u = np.asarray(state.u).reshape(-1, dim)
-        t = element_tables(mesh.dim)
-        from .fem import cell_geometry
-        JxW, grads = cell_geometry(mesh.cell_coords, t)
-        grad_u = np.einsum("cad,cqae->cqde", u[mesh.cell2vert], grads)
-        gc = grad_u.mean(axis=1).reshape(mesh.n_cells, -1)  # (c, dim*dim)
-        # vertex-averaged gradients
-        gv = np.zeros((mesh.n_vertices, gc.shape[1]))
-        cnt = np.zeros(mesh.n_vertices)
-        np.add.at(gv, mesh.cell2vert.ravel(),
-                  np.repeat(gc, mesh.cell2vert.shape[1], axis=0))
-        np.add.at(cnt, mesh.cell2vert.ravel(), 1.0)
-        gv /= np.maximum(cnt, 1.0)[:, None]
-        jump2 = ((gc[:, None, :] - gv[mesh.cell2vert]) ** 2).sum(axis=(1, 2))
-        eta2 = jump2 * mesh.diameters / 24.0
-        return np.sqrt(eta2)
+        """Kelly face-jump error indicator on the displacement components
+        (cracks.cc:4070-4083): exact deal.II KellyErrorEstimator analogue
+        with per-face normal-gradient jump integrals (kelly.py)."""
+        from .kelly import kelly_estimate
+        return kelly_estimate(self.mesh, np.asarray(state.u))
 
     def refine_mesh(self, state: SolutionState) -> bool:
         """refine_mesh (cracks.cc:3895-4163): flag, balance, execute,

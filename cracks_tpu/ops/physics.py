@@ -115,20 +115,18 @@ def _full_stress_components(strain, lam, mu, dim):
     return sigma, tr
 
 
-def _residual_core(u, phi, phi_old, phi_oold, ca: CellArrays, sc: Scalars,
-                   *, dim: int, with_split: bool, monolithic: bool):
-    """Element residual in cell-last layout.
+def _element_residual_cl(u_e, phi_e, pf_old_e, pf_oold_e, ca: CellArrays,
+                         sc: Scalars, *, dim: int, with_split: bool,
+                         monolithic: bool):
+    """Per-cell residual in the cell-last layout, BEFORE scatter-add.
 
-    Returns (ru (n_v*dim,), rp (n_v,)) — raw scatter-add, no constraints.
+    u_e (nvc, dim, c); phi_e/pf_old_e/pf_oold_e (nvc, c).
+    Returns (ru_e (nvc, dim, c), rp_e (nvc, c)).  Every intermediate
+    keeps the cell axis last (huge trailing axis — negligible TPU tile
+    padding), which is why the element matrices are built from jvps of
+    THIS function rather than a vmapped per-cell jacfwd (whose batched
+    tangent axis padded intermediates up to 19x and OOMed at 100k cells).
     """
-    nvc = ca.gather_p.shape[0]
-
-    u_e = u[ca.gather_u]                       # (nvc*dim, c)
-    u_e = u_e.reshape(nvc, dim, -1)            # (a, d, c)
-    phi_e = phi[ca.gather_p]                   # (a, c)
-    pf_old_e = phi_old[ca.gather_p]
-    pf_oold_e = phi_oold[ca.gather_p]
-
     # fields at quadrature points — everything (q, ..., c)
     grad_u = jnp.einsum("adc,qaec->qdec", u_e, ca.grads)
     pf = jnp.einsum("qa,ac->qc", ca.shape_v, phi_e)
@@ -193,7 +191,21 @@ def _residual_core(u, phi, phi_old, phi_oold, ca: CellArrays, sc: Scalars,
     rp_e = -(jnp.einsum("qc,qa->ac", SJ, ca.shape_v)
              + sc.G_c * sc.alpha_eps
              * jnp.einsum("qec,qaec->ac", grad_pf, gw))
+    return ru_e, rp_e
 
+
+def _residual_core(u, phi, phi_old, phi_oold, ca: CellArrays, sc: Scalars,
+                   *, dim: int, with_split: bool, monolithic: bool):
+    """Element residual in cell-last layout.
+
+    Returns (ru (n_v*dim,), rp (n_v,)) — raw scatter-add, no constraints.
+    """
+    nvc = ca.gather_p.shape[0]
+    u_e = u[ca.gather_u].reshape(nvc, dim, -1)   # (a, d, c)
+    phi_e = phi[ca.gather_p]                     # (a, c)
+    ru_e, rp_e = _element_residual_cl(
+        u_e, phi_e, phi_old[ca.gather_p], phi_oold[ca.gather_p], ca, sc,
+        dim=dim, with_split=with_split, monolithic=monolithic)
     n_ud = u.shape[0]
     n_v = phi.shape[0]
     ru = jnp.zeros(n_ud, dtype=u.dtype).at[ca.gather_u].add(
@@ -286,9 +298,47 @@ def element_matrices(u, phi, phi_old, phi_oold, ca: CellArrays, sc: Scalars,
     host sparse factorization.  With cell_last=True returns
     (ndl, ndl, n_cells) — the TPU-resident layout (cell axis last avoids
     tile padding; see module docstring) used by the stored-matrix Krylov
-    operator in solvers/assembled.py."""
+    operator in solvers/assembled.py.
+
+    The cell-last path takes ndl one-hot jvps of the batched cell-last
+    element residual instead of one vmapped per-cell jacfwd: the jacfwd
+    tangent axis forces (batch, cells, q, ndl, ...) intermediates whose
+    tile padding inflated up to 19x in HBM (a measured 12.5 GB temp at
+    100k cells, OOM on a 16 GB chip); sequential jvps keep every
+    intermediate in the padding-free (q, ..., n_cells) layout."""
     nvc = ca.gather_p.shape[0]
     ndl = nvc * (dim + 1)
+
+    if cell_last:
+        n_c = ca.gather_p.shape[1]
+        u_e = u[ca.gather_u].reshape(nvc, dim, n_c)
+        phi_e = phi[ca.gather_p]
+        pf_old_e = phi_old[ca.gather_p]
+        pf_oold_e = phi_oold[ca.gather_p]
+
+        def f(ue, pe):
+            ru_e, rp_e = _element_residual_cl(
+                ue, pe, pf_old_e, pf_oold_e, ca, sc, dim=dim,
+                with_split=with_split, monolithic=monolithic)
+            return jnp.concatenate(
+                [ru_e.reshape(nvc * dim, n_c), rp_e], axis=0)
+
+        cols = []
+        for j in range(ndl):
+            if j < nvc * dim:
+                a, d = divmod(j, dim)
+                tu = jnp.zeros((nvc, dim), u.dtype).at[a, d].set(1.0)
+                du_t = jnp.broadcast_to(tu[:, :, None], (nvc, dim, n_c))
+                dp_t = jnp.zeros((nvc, n_c), u.dtype)
+            else:
+                a = j - nvc * dim
+                du_t = jnp.zeros((nvc, dim, n_c), u.dtype)
+                dp_t = jnp.broadcast_to(
+                    jnp.zeros(nvc, u.dtype).at[a].set(1.0)[:, None],
+                    (nvc, n_c))
+            _, dcol = jax.jvp(f, (u_e, phi_e), (du_t, dp_t))
+            cols.append(-dcol)                    # J = -d(rhs)
+        return jnp.stack(cols, axis=1)            # (ndl, ndl, n_c)
 
     def local(x, pf_old_e, pf_oold_e, JxW, grads, lam, mu, invd2):
         u_e = x[: nvc * dim].reshape(nvc, dim)
@@ -302,10 +352,10 @@ def element_matrices(u, phi, phi_old, phi_oold, ca: CellArrays, sc: Scalars,
     x_all = jnp.concatenate([u[ca.gather_u], phi[ca.gather_p]], axis=0).T
     jac = jax.vmap(jax.jacfwd(local),
                    in_axes=(0, 1, 1, 1, 3, 0, 0, 0),
-                   out_axes=2 if cell_last else 0)(
+                   out_axes=0)(
         x_all, phi_old[ca.gather_p], phi_oold[ca.gather_p], ca.JxW,
         ca.grads, ca.lam, ca.mu, ca.inv_diam2)
-    assert jac.shape[0 if cell_last else -1] == ndl
+    assert jac.shape[-1] == ndl
     return jac
 
 
