@@ -88,6 +88,8 @@ class System:
         # GMG hierarchies (attached by the driver when preconditioner=gmg)
         self.hierarchy = None
         self.galerkin_hierarchy = None
+        self.lattice_hierarchy = None
+        self.lattice_ca32 = None
         # context (set by the driver before each nonlinear solve)
         self.scalars: physics.Scalars = None
         self.with_split: bool = False
@@ -210,7 +212,24 @@ class Simulation:
                     p, m, 0.0, initial_step=False)
                 return mu_, mp_
 
-            if p.assembled_matvec:
+            if p.assembled_matvec and self.sys.ca32 is not None:
+                # tensor-grid (monolattice) fast path: gather-free
+                # Krylov loop on uniformly refined rect meshes; serves
+                # the fused mixed-precision solve (solvers/lattice.py)
+                from .solvers import lattice
+                lay = lattice.detect_tensor_grid(self.mesh)
+                if lay is not None:
+                    hier = lattice.build_lattice_hierarchy(
+                        self.mesh, lay, dirichlet_fn)
+                    if hier is not None:
+                        self.sys.lattice_hierarchy = hier
+                        self.sys.lattice_ca32 = \
+                            lattice.permuted_cell_arrays(
+                                self.mesh, self.sys.lam_cells,
+                                self.sys.mu_cells, lay)
+            if (p.assembled_matvec
+                    and getattr(self.sys, "lattice_hierarchy",
+                                None) is None):
                 # coefficient-exact Galerkin element coarsening
                 # (solvers/galerkin.py); falls back below when the mesh
                 # has hanging nodes on any level
@@ -218,7 +237,9 @@ class Simulation:
                 self.sys.galerkin_hierarchy = galerkin.\
                     build_galerkin_hierarchy(self.forest, self.mesh,
                                              dirichlet_fn)
-            if getattr(self.sys, "galerkin_hierarchy", None) is None:
+            if (getattr(self.sys, "galerkin_hierarchy", None) is None
+                    and getattr(self.sys, "lattice_hierarchy",
+                                None) is None):
                 from .solvers import multigrid
                 self.sys.hierarchy = multigrid.build_hierarchy(
                     self.forest, self.mesh, p, lam_fn, dirichlet_fn,

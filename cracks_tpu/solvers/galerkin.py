@@ -419,13 +419,43 @@ def solve_newton_system(u, phi, phi_old, phi_oold, ca64, sc, levels,
                         passes: int = 3):
     """Returns (du, dp, iters, rnorm2) on the free subspace.
 
-    float64 CG on the exact element Jacobians, preconditioned by the
-    float32 Galerkin V-cycle; restarted refinement passes against the
-    exact f64 residual absorb the f32 preconditioner noise."""
-    jac64 = physics.element_matrices(
-        u, phi, phi_old, phi_oold, ca64, sc, dim=dim,
-        with_split=with_split, monolithic=monolithic, cell_last=True)
-    jac32 = jac64.astype(jnp.float32)
+    Krylov iterations run ENTIRELY in float32 (stored element matrices +
+    Galerkin V-cycle); float64 appears only in the exact residuals
+    between restarted refinement passes, computed MATRIX-FREE via one
+    linearized jvp application per pass.  TPU float64 is ~12x float32
+    (emulated), so building float64 element matrices (12 f64 jvp-grade
+    passes, measured ~6 s at 100k cells) dominated the solve; a handful
+    of linearized f64 applications (~0.2 s each) replaces it."""
+    from ..ops.constraints import (condense_residual, expand_update)
+
+    f32c = lambda x: x.astype(jnp.float32)
+    ca32 = physics.CellArrays(
+        gather_u=ca64.gather_u, gather_p=ca64.gather_p,
+        JxW=f32c(ca64.JxW), grads=f32c(ca64.grads),
+        shape_v=f32c(ca64.shape_v), lam=f32c(ca64.lam),
+        mu=f32c(ca64.mu), inv_diam2=f32c(ca64.inv_diam2))
+    sc32 = physics.Scalars(*(f32c(v) for v in sc))
+    jac32 = physics.element_matrices(
+        f32c(u), f32c(phi), f32c(phi_old), f32c(phi_oold), ca32, sc32,
+        dim=dim, with_split=with_split, monolithic=monolithic,
+        cell_last=True)
+
+    # float64 Newton operator, matrix-free: linearize once at the
+    # Newton point, apply per refinement pass (J = -d(rhs)/dx)
+    def res64(uu, pp):
+        return physics.assemble_residual(
+            uu, pp, phi_old, phi_oold, ca64, sc,
+            dim=dim, with_split=with_split, monolithic=monolithic)
+
+    _, jvp64 = jax.linearize(res64, u, phi)
+
+    def op64_both(xu, xp):
+        """Condensed f64 action on free-subspace (xu, xp): returns
+        (J_uu xu, J_pu xu + J_pp xp) condensed."""
+        eu, ep = expand_update(xu, xp, con, active)
+        ju, jp = jvp64(eu, ep)
+        return condense_residual(-ju, -jp, con, active)
+
     hier = GalerkinHierarchy(levels=levels, P_embed=P_embed, dim=dim)
     level_ops = build_level_ops(
         hier, jac32, ca64, active, con.dirichlet_u, con.dirichlet_p,
@@ -434,13 +464,18 @@ def solve_newton_system(u, phi, phi_old, phi_oold, ca64, sc, levels,
     nvc = 2 ** dim
     nud_l = nvc * dim
     eps64 = float(jnp.finfo(jnp.float64).eps)
+    zero_u = jnp.zeros_like(rhs_u)
+    zero_p = jnp.zeros_like(rhs_p)
 
     def block_solve(which, b):
         lo, hi = (0, nud_l) if which == "u" else (nud_l, nud_l + nvc)
         fin = level_ops[-1]
-        gather = ca64.gather_u if which == "u" else ca64.gather_p
+        gather = fin.gather_u if which == "u" else fin.gather_p
         free = fin.free_u if which == "u" else fin.free_p
-        op = _masked_op(jac64, gather, free, lo, hi)
+        if which == "u":
+            op = lambda x: op64_both(x, zero_p)[0]
+        else:
+            op = lambda x: op64_both(zero_u, x)[1]
         op32 = _masked_op(jac32, gather, free, lo, hi)
         M32 = make_vcycle(level_ops, dim=dim, which=which, degree=degree)
         bnorm = jnp.sqrt(jnp.vdot(b, b).real)
@@ -521,10 +556,7 @@ def solve_newton_system(u, phi, phi_old, phi_oold, ca64, sc, levels,
         return x_acc, its, rr_cur
 
     du, it_u, rr_u = block_solve("u", rhs_u)
-    n_p = con.dirichlet_p.shape[0]
-    _, _, op_pu = assembled.make_condensed_ops(jac64, ca64, con, active,
-                                               n_p, dim=dim)
-    rhs_p2 = rhs_p - op_pu(du)
+    rhs_p2 = rhs_p - op64_both(du, zero_p)[1]   # b_p - J_pu du, f64
     dp, it_p, rr_p = block_solve("p", rhs_p2)
     return du, dp, it_u + it_p, rr_u + rr_p
 

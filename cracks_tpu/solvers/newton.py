@@ -66,6 +66,18 @@ def _solve(sys, u, phi, phi_old, phi_oold, con, active, rhs_u, rhs_p,
         except RuntimeError:
             pass  # exactly singular factor -> CG below
     if (p.assembled_matvec
+            and getattr(sys, "ca32", None) is not None
+            and getattr(sys, "lattice_hierarchy", None) is not None):
+        # tensor-grid monolattice fused solve: gather-free Krylov loop
+        # (solvers/lattice.py)
+        from . import lattice
+        from ..ops.constraints import expand_update
+        du, dp, its = lattice.solve_lattice(
+            sys, u, phi, phi_old, phi_oold, con, active, rhs_u, rhs_p,
+            with_split)
+        du, dp = expand_update(du, dp, con, active)
+        return du, dp, its
+    if (p.assembled_matvec
             and getattr(sys, "galerkin_hierarchy", None) is not None):
         return _solve_assembled(sys, u, phi, phi_old, phi_oold, con,
                                 active, rhs_u, rhs_p, with_split)

@@ -52,11 +52,15 @@ def test_assembled_cg_matches_direct(direct_result, precond, mixed):
 
 
 def test_galerkin_hierarchy_exists():
-    """The uniformly refined Sneddon mesh must get a Galerkin hierarchy
-    (no hanging nodes), exercising the element-RAP coarsening."""
+    """The uniformly refined Sneddon mesh must get a coefficient-exact
+    multilevel hierarchy: the tensor-grid lattice path when detected
+    (solvers/lattice.py), else the generic Galerkin element-RAP one."""
     sim, _ = _run("gmg", "cg")
-    assert sim.sys.galerkin_hierarchy is not None
-    assert len(sim.sys.galerkin_hierarchy.levels) >= 1
+    if sim.sys.lattice_hierarchy is not None:
+        assert sim.sys.lattice_hierarchy.n_levels >= 2
+    else:
+        assert sim.sys.galerkin_hierarchy is not None
+        assert len(sim.sys.galerkin_hierarchy.levels) >= 1
 
 
 def test_gmg_iterations_beat_jacobi():

@@ -1,0 +1,144 @@
+"""Tensor-grid monolattice solve path (solvers/lattice.py): layout
+detection, lattice primitives vs their gather/scatter equivalents, and
+the fused lattice solve vs the generic Galerkin solve."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import cracks_tpu.solvers.lattice as lat
+from cracks_tpu import meshio, problems
+from cracks_tpu.config import Parameters
+from cracks_tpu.mesh import Forest
+from cracks_tpu.ops import physics
+
+
+def _sneddon_sim(refine=3, precond="gmg"):
+    from cracks_tpu.driver import Simulation
+    p = Parameters(
+        test_case="sneddon", pressure_expr="1.0e-3", G_c=1.0,
+        poisson_ratio_nu=0.2, E_modulus=1.0, k_reg_expr="1e-8*h",
+        eps_reg_expr="2.0*h", lower_bound_newton_residual=1e-7,
+        max_no_newton_steps=50, max_no_line_search_steps=10,
+        n_global_pre_refine=refine, n_local_pre_refine=0,
+        n_refinement_cycles=0, max_no_timesteps=0, output_dir="",
+        linear_solver="cg", preconditioner=precond, cg_rtol=1e-8,
+        mixed_precision_cg=True)
+    return Simulation(p, verbose=False)
+
+
+def test_detect_tensor_grid():
+    f = Forest(meshio.rect_mesh([-10, -10], [10, 10]))
+    f.refine_global(2)
+    mesh = f.extract()
+    lay = lat.detect_tensor_grid(mesh)
+    assert lay is not None
+    assert lay.GY == lay.GX == 41
+    # slit meshes (duplicated seam vertices) must NOT be detected
+    import os
+    from cracks_tpu.driver import MESH_DIR
+    slit = meshio.read_ucd(os.path.join(MESH_DIR, "unit_slit.inp"), dim=2)
+    fs = Forest(slit)
+    fs.refine_global(2)
+    assert lat.detect_tensor_grid(fs.extract()) is None
+
+
+def test_lattice_matvec_equals_assembled():
+    f = Forest(meshio.rect_mesh([0, 0], [1, 1]))
+    f.refine_global(2)
+    mesh = f.extract()
+    lay = lat.detect_tensor_grid(mesh)
+    p = Parameters(test_case="sneddon", pressure_expr="1.0e-3",
+                   G_c=1.0, poisson_ratio_nu=0.2, E_modulus=1.0)
+    lam, mu = problems.cell_lame_fields(p, mesh, None)
+    sc = physics.make_scalars(1e-3, 1e-8, 0.1, 1.0, 0.0, 1.0, 1.0, 0.0,
+                              dtype=jnp.float32)
+    caL = lat.permuted_cell_arrays(mesh, lam, mu, lay)
+    ca = physics.build_cell_arrays(mesh, lam, mu, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    n_v = mesh.n_vertices
+    u = jnp.asarray(rng.normal(size=n_v * 2), jnp.float32)
+    phi = jnp.asarray(rng.uniform(0.2, 1.0, n_v), jnp.float32)
+    kw = dict(dim=2, with_split=False, monolithic=False)
+    jacL = physics.element_matrices(u, phi, phi, phi, caL, sc,
+                                    cell_last=True, **kw)
+    jacL = jacL.reshape(12, 12, lay.GY - 1, lay.GX - 1)
+    jac = physics.element_matrices(u, phi, phi, phi, ca, sc,
+                                   cell_last=True, **kw)
+
+    from cracks_tpu.solvers import assembled
+    x = jnp.asarray(rng.normal(size=n_v * 2), jnp.float32)
+    y_ref = assembled.matvec_uu(jac, ca, x, dim=2)
+    X = jnp.moveaxis(jnp.zeros((lay.GY * lay.GX, 2), jnp.float32)
+                     .at[jnp.asarray(lay.vert_pos)]
+                     .set(x.reshape(-1, 2))
+                     .reshape(lay.GY, lay.GX, 2), -1, 0)
+    Y = lat.matvec(jacL, X, 0, 8, 2)
+    y = jnp.moveaxis(Y, 0, -1).reshape(-1, 2)[
+        jnp.asarray(lay.vert_pos)].reshape(-1)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=2e-5, atol=2e-5)
+
+    xp = jnp.asarray(rng.normal(size=n_v), jnp.float32)
+    yp_ref = assembled.matvec_pp(jac, ca, xp, dim=2)
+    Xp = jnp.zeros((lay.GY * lay.GX,), jnp.float32).at[
+        jnp.asarray(lay.vert_pos)].set(xp).reshape(1, lay.GY, lay.GX)
+    Yp = lat.matvec(jacL, Xp, 8, 12, 1)
+    yp = Yp.reshape(-1)[jnp.asarray(lay.vert_pos)]
+    np.testing.assert_allclose(np.asarray(yp), np.asarray(yp_ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_prolong_restrict_transpose():
+    rng = np.random.default_rng(1)
+    GYc = GXc = 9
+    GY = GX = 17
+    for k in (1, 2):
+        Xc = jnp.asarray(rng.normal(size=(k, GYc, GXc)))
+        Yf = jnp.asarray(rng.normal(size=(k, GY, GX)))
+        lhs = jnp.vdot(lat.prolong(Xc, GY, GX, k), Yf)
+        rhs = jnp.vdot(Xc, lat.restrict(Yf, k))
+        assert float(abs(lhs - rhs)) < 1e-10 * float(abs(lhs) + 1)
+
+
+def test_lattice_solve_matches_galerkin():
+    """The fused lattice solve and the generic Galerkin fused solve are
+    different implementations of the same algorithm; on one Sneddon
+    load step they must produce the same statistics."""
+    sim_l = _sneddon_sim()
+    sim_l.run()
+    assert sim_l.sys.lattice_hierarchy is not None
+    bulk_l = sim_l.statistics.data["Bulk Energy"][-1]
+    crack_l = sim_l.statistics.data["Crack Energy"][-1]
+
+    sim_g = _sneddon_sim()
+    # force the generic path by removing the lattice bundle
+    import cracks_tpu.driver as drv
+    orig = drv.Simulation.setup_system
+
+    def patched(self):
+        orig(self)
+        self.sys.lattice_hierarchy = None
+        self.sys.lattice_ca32 = None
+        if self.sys.galerkin_hierarchy is None:
+            from cracks_tpu.solvers import galerkin
+
+            def dirichlet_fn(m):
+                mu_, _, mp_, _ = problems.dirichlet_conditions(
+                    self.p, m, 0.0, initial_step=False)
+                return mu_, mp_
+            self.sys.galerkin_hierarchy = galerkin.\
+                build_galerkin_hierarchy(self.forest, self.mesh,
+                                         dirichlet_fn)
+    drv.Simulation.setup_system = patched
+    try:
+        sim_g = _sneddon_sim()
+        sim_g.run()
+        assert sim_g.sys.galerkin_hierarchy is not None
+    finally:
+        drv.Simulation.setup_system = orig
+    bulk_g = sim_g.statistics.data["Bulk Energy"][-1]
+    crack_g = sim_g.statistics.data["Crack Energy"][-1]
+    assert bulk_l == pytest.approx(bulk_g, rel=1e-9)
+    assert crack_l == pytest.approx(crack_g, rel=1e-9)

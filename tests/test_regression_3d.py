@@ -31,10 +31,12 @@ def test_sneddon_3d_full(tmp_path):
 @pytest.mark.slow
 def test_hetero_3d_full(tmp_path):
     sim, _ = run_prm(f"{PRM_DIR}/hetero_3d_1.prm", output_dir=str(tmp_path))
+    # Deviation vs golden is systematic (2.7e-3 rel max) and EXACTLY
+    # solver-independent: cg rtol 1e-8, cg rtol 1e-11 and the sparse
+    # direct solver all reproduce identical statistics (scatter
+    # experiment, round 2), so the 2e-2 absolute override of round 1
+    # was unnecessary — numdiff atol + 5e-3 rel covers it.
     compare_statistics(
         sim.statistics.write_text(), "hetero_3d_1.mpirun-4.statistics",
-        col_overrides={"Energy": (2e-2, 5e-3)})
-    # bulk energy matches to ~2e-3 relative; the heterogeneous case is
-    # active-set-path sensitive (the reference's own indicator weight c
-    # depends on MPI rank-local assembly order there, cracks.cc:2209/2859)
+        col_overrides={"Energy": (1e-6, 5e-3)})
     assert sim.mesh.n_dofs == 5288

@@ -42,11 +42,19 @@ def test_miehe_tension_adaptive_full(tmp_path):
     sim, _ = run_prm(f"{PRM_DIR}/miehe_tension_adaptive_1.prm",
                      output_dir=str(tmp_path))
     # rows 0-26 match to ~1e-5 relative; the violent softening steps
-    # 27-32 (load drops 820 -> 83 in six steps) are path-sensitive in the
-    # non-convex regime and agree to ~1e-2 relative
+    # 27-32 (load drops 820 -> 83 in six steps) are path-sensitive in
+    # the non-convex regime.  Irreducibility experiment (this repo,
+    # solver-knob scatter): changing ONLY the Krylov tolerance
+    # (cg_rtol 1e-8 -> 1e-11) or switching to the sparse direct solver
+    # moves rows 27-32 by up to 8.6e-3 relative while rows 0-26 stay
+    # <= 6e-5 — the softening branch amplifies solver round-off to
+    # ~1e-2-level scatter WITHIN one implementation, so tolerances
+    # beyond numdiff are intrinsic there, not an implementation defect.
+    # Observed vs golden: <= 8.5e-3 (row 32, the final softening step),
+    # matching the intra-code scatter bound; 1e-2 covers it.
     compare_statistics(
         sim.statistics.write_text(), "miehe_tension_adaptive_1.statistics",
-        col_overrides={"Energy": (1e-3, 1.5e-2), "Load": (1e-6, 1.5e-2)})
+        col_overrides={"Energy": (1e-3, 1e-2), "Load": (1e-6, 1e-2)})
 
 
 def test_miehe_tension_adaptive_prefix(tmp_path):
