@@ -406,12 +406,23 @@ def make_vcycle(levels, lo, hi, k, degree=2):
     return lambda b: cycle(L - 1, b)
 
 
+# Above ~150k DoFs a single fused solve dispatch runs long enough to
+# crash the shared TPU worker (observed deterministically at 309k DoFs;
+# PERFORMANCE.md: sustained ~20 s XLA executions kill it), so large
+# problems use the split-dispatch variant: same algorithm, one bounded
+# device call per CG pass / f64 refinement residual.
+FUSED_SOLVE_MAX_DOFS = 150_000
+
+
 def solve_lattice(sys, u, phi, phi_old, phi_oold, con, active, rhs_u,
                   rhs_p, with_split):
     """Driver-facing entry: unpacks the System's lattice bundle into the
-    jitted fused solve."""
+    jitted fused solve (small problems) or the split-dispatch solve."""
     hier: LatticeHierarchy = sys.lattice_hierarchy
     p = sys.params
+    if sys.mesh.n_dofs > FUSED_SOLVE_MAX_DOFS:
+        return _solve_split(sys, hier, u, phi, phi_old, phi_oold, con,
+                            active, rhs_u, rhs_p, with_split)
     du, dp, its, _rr = _solve_newton_system(
         u, phi, phi_old, phi_oold, sys.ca, sys.lattice_ca32,
         sys.scalars, hier.vert_pos, hier.dir_u, hier.dir_p,
@@ -419,6 +430,174 @@ def solve_lattice(sys, u, phi, phi_old, phi_oold, con, active, rhs_u,
         GY=hier.GY, GX=hier.GX, n_levels=hier.n_levels, dim=sys.dim,
         with_split=with_split, monolithic=sys.monolithic)
     return du, dp, int(its)
+
+
+# ---------------------------------------------------------------------------
+# split-dispatch variant (large problems)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("GY", "GX", "n_levels", "dim",
+                                   "with_split", "monolithic"))
+def _prepare(u, phi, phi_old, phi_oold, caL32, sc, P_embed, *, GY, GX,
+             n_levels, dim, with_split, monolithic):
+    """jac32 on the lattice + the Galerkin coarse chain."""
+    f32 = lambda x: x.astype(jnp.float32)
+    sc32 = physics.Scalars(*(f32(v) for v in sc))
+    jacL = physics.element_matrices(
+        f32(u), f32(phi), f32(phi_old), f32(phi_oold), caL32, sc32,
+        dim=dim, with_split=with_split, monolithic=monolithic,
+        cell_last=True).reshape(12, 12, GY - 1, GX - 1)
+    jacs = [jacL]
+    for _ in range(n_levels - 1):
+        jacs.insert(0, coarsen(jacs[0], P_embed))
+    return tuple(jacs)
+
+
+@partial(jax.jit, static_argnames=("dim", "with_split", "monolithic"))
+def _op64_apply(u, phi, phi_old, phi_oold, ca64, sc, con, active, xu,
+                xp, *, dim, with_split, monolithic):
+    """Condensed exact f64 Newton-operator action (J_uu xu,
+    J_pu xu + J_pp xp) via one jvp."""
+    from ..ops.constraints import condense_residual, expand_update
+
+    def res64(uu, pp):
+        return physics.assemble_residual(
+            uu, pp, phi_old, phi_oold, ca64, sc,
+            dim=dim, with_split=with_split, monolithic=monolithic)
+
+    eu, ep = expand_update(xu, xp, con, active)
+    _, (ju, jp) = jax.jvp(res64, (u, phi), (eu, ep))
+    return condense_residual(-ju, -jp, con, active)
+
+
+@partial(jax.jit, static_argnames=("GY", "GX", "which", "degree",
+                                   "inner_max"))
+def _cg_pass(jacs, dir_u, dir_p, vert_pos, active, r_g, rr0, rtol,
+             target2, *, GY, GX, which, degree=2, inner_max=64):
+    """One float32 lattice-GMG CG pass on the scaled residual; returns
+    (dx in f64 global layout, inner iterations)."""
+    k = 2 if which == "u" else 1
+    lo, hi = (0, 8) if which == "u" else (8, 12)
+    active_L = jnp.zeros((GY * GX,), bool).at[vert_pos].set(
+        active)[None].reshape(1, GY, GX)
+    levels = _build_block_levels(list(jacs), dir_u, dir_p, GY, active_L,
+                                 lo, hi, k, which)
+    fin = levels[-1]
+    M32 = make_vcycle(levels, lo, hi, k, degree=degree)
+    op32 = _masked_mv(fin, lo, hi, k)
+
+    scale = jnp.sqrt(rr0)
+    inv_scale = jnp.where(scale > 0, 1.0 / scale, 0.0)
+    if k == 1:
+        R0 = jnp.zeros((GY * GX,), jnp.float32).at[vert_pos].set(
+            (r_g * inv_scale).astype(jnp.float32)).reshape(1, GY, GX)
+    else:
+        rm = (r_g * inv_scale).astype(jnp.float32).reshape(-1, k)
+        R0 = jnp.moveaxis(
+            jnp.zeros((GY * GX, k), jnp.float32).at[vert_pos].set(rm)
+            .reshape(GY, GX, k), -1, 0)
+    R0 = jnp.where(fin.free, R0, 0.0)
+    tol2 = jnp.asarray(
+        jnp.maximum(jnp.maximum(rtol, 1e-5) ** 2,
+                    jnp.where(rr0 > 0, target2 / rr0, 1.0)), jnp.float32)
+    Z0 = M32(R0)
+
+    def cond(s):
+        X, R, Z, Pv, rz, kk, Xb, rrb = s
+        return (rrb > tol2) & (kk < inner_max)
+
+    def body(s):
+        X, R, Z, Pv, rz, kk, Xb, rrb = s
+        Ap = op32(Pv)
+        denom = jnp.vdot(Pv, Ap)
+        alpha = jnp.where(denom != 0, rz / denom, 0.0)
+        X = X + alpha * Pv
+        R = R - alpha * Ap
+        rr = jnp.vdot(R, R).real
+        better = rr < rrb
+        Xb = jnp.where(better, X, Xb)
+        rrb = jnp.where(better, rr, rrb)
+        Z = M32(R)
+        rz_new = jnp.vdot(R, Z)
+        beta = jnp.where(rz != 0, rz_new / rz, 0.0)
+        Pv = Z + beta * Pv
+        return X, R, Z, Pv, rz_new, kk + 1, Xb, rrb
+
+    s0 = (jnp.zeros_like(R0), R0, Z0, Z0, jnp.vdot(R0, Z0),
+          jnp.asarray(0), jnp.zeros_like(R0),
+          jnp.asarray(1.0, jnp.float32))
+    s = jax.lax.while_loop(cond, body, s0)
+    Xb = s[6].astype(jnp.float64)
+    if k == 1:
+        dx = Xb.reshape(-1)[vert_pos]
+    else:
+        dx = jnp.moveaxis(Xb, 0, -1).reshape(-1, k)[vert_pos].reshape(-1)
+    return dx * scale, s[5]
+
+
+def _solve_split(sys, hier: LatticeHierarchy, u, phi, phi_old, phi_oold,
+                 con, active, rhs_u, rhs_p, with_split, passes=3):
+    """Host-orchestrated restarted-refinement solve with bounded device
+    executions.  Mathematically identical to _solve_newton_system."""
+    p = sys.params
+    rtol = p.cg_rtol
+    eps64 = float(np.finfo(np.float64).eps)
+    kw = dict(dim=sys.dim, with_split=with_split,
+              monolithic=sys.monolithic)
+    jacs = _prepare(u, phi, phi_old, phi_oold, sys.lattice_ca32,
+                    sys.scalars, hier.P_embed, GY=hier.GY, GX=hier.GX,
+                    n_levels=hier.n_levels, **kw)
+
+    op64 = lambda xu, xp: _op64_apply(
+        u, phi, phi_old, phi_oold, sys.ca, sys.scalars, con, active,
+        xu, xp, **kw)
+    zero_u = jnp.zeros_like(rhs_u)
+    zero_p = jnp.zeros_like(rhs_p)
+    total_its = 0
+    last_ju_pu = [None]   # J_pu du of the final accepted u iterate
+
+    def block(which, b):
+        nonlocal total_its
+        bnorm = float(jnp.sqrt(jnp.vdot(b, b).real))
+        target2 = max(rtol * bnorm, 100.0 * eps64 * bnorm) ** 2
+        x_acc = jnp.zeros_like(b)
+        r_cur = b
+        rr_cur = bnorm * bnorm
+        for _ in range(passes):
+            if rr_cur <= target2:
+                break
+            dx, k = _cg_pass(jacs, hier.dir_u, hier.dir_p,
+                             hier.vert_pos, active, r_cur,
+                             jnp.asarray(rr_cur), rtol,
+                             jnp.asarray(target2), GY=hier.GY,
+                             GX=hier.GX, which=which)
+            total_its += int(k)
+            x_try = x_acc + dx
+            if which == "u":
+                ju, jp = op64(x_try, zero_p)
+                r_try = b - ju
+            else:
+                _, jp2 = op64(zero_u, x_try)
+                r_try = b - jp2
+            rr_try = float(jnp.vdot(r_try, r_try).real)
+            if not np.isfinite(rr_try) or rr_try >= rr_cur:
+                break
+            progress = rr_try / max(rr_cur, 1e-300)
+            x_acc, r_cur = x_try, r_try
+            if which == "u":
+                last_ju_pu[0] = jp
+            rr_cur = rr_try
+            if rr_cur <= target2 or progress > 0.25:
+                break
+        return x_acc
+
+    du = block("u", rhs_u)
+    if last_ju_pu[0] is None:
+        _, jp = op64(du, zero_p)
+        last_ju_pu[0] = jp
+    rhs_p2 = rhs_p - last_ju_pu[0]
+    dp = block("p", rhs_p2)
+    return du, dp, total_its
 
 
 @partial(jax.jit, static_argnames=("GY", "GX", "n_levels", "dim",

@@ -102,6 +102,21 @@ def test_prolong_restrict_transpose():
         assert float(abs(lhs - rhs)) < 1e-10 * float(abs(lhs) + 1)
 
 
+def test_split_solve_matches_fused(monkeypatch):
+    """The split-dispatch variant (bounded device executions for large
+    problems) must reproduce the fused solve's statistics."""
+    sim_f = _sneddon_sim()
+    sim_f.run()
+    assert sim_f.sys.lattice_hierarchy is not None
+    monkeypatch.setattr(lat, "FUSED_SOLVE_MAX_DOFS", 0)
+    sim_s = _sneddon_sim()
+    sim_s.run()
+    for colname in ("Bulk Energy", "Crack Energy"):
+        a = sim_f.statistics.data[colname][-1]
+        b = sim_s.statistics.data[colname][-1]
+        assert b == pytest.approx(a, rel=1e-9), colname
+
+
 def test_lattice_solve_matches_galerkin():
     """The fused lattice solve and the generic Galerkin fused solve are
     different implementations of the same algorithm; on one Sneddon
