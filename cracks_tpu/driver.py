@@ -212,10 +212,13 @@ class Simulation:
                     p, m, 0.0, initial_step=False)
                 return mu_, mp_
 
-            if p.assembled_matvec and self.sys.ca32 is not None:
+            if (p.assembled_matvec and self.sys.ca32 is not None
+                    and p.n_devices == 1):
                 # tensor-grid (monolattice) fast path: gather-free
                 # Krylov loop on uniformly refined rect meshes; serves
-                # the fused mixed-precision solve (solvers/lattice.py)
+                # the fused mixed-precision single-chip solve
+                # (solvers/lattice.py); multi-chip runs keep the GSPMD
+                # galerkin path
                 from .solvers import lattice
                 lay = lattice.detect_tensor_grid(self.mesh)
                 if lay is not None:

@@ -194,6 +194,21 @@ def _element_residual_cl(u_e, phi_e, pf_old_e, pf_oold_e, ca: CellArrays,
     return ru_e, rp_e
 
 
+# Above this many cells the element sweep is processed in sequential
+# chunks: XLA's rematerialization otherwise spills multi-GB padded
+# f64-emulation temps at ~400k cells (measured 6.25 GB single temps,
+# OOM on the 16 GB chip).  131072 cells is the proven-safe size.
+CELL_CHUNK = 131072
+
+
+def _slice_cells(ca: CellArrays, s: int, e: int) -> CellArrays:
+    return CellArrays(
+        gather_u=ca.gather_u[:, s:e], gather_p=ca.gather_p[:, s:e],
+        JxW=ca.JxW[:, s:e], grads=ca.grads[..., s:e],
+        shape_v=ca.shape_v, lam=ca.lam[s:e], mu=ca.mu[s:e],
+        inv_diam2=ca.inv_diam2[s:e])
+
+
 def _residual_core(u, phi, phi_old, phi_oold, ca: CellArrays, sc: Scalars,
                    *, dim: int, with_split: bool, monolithic: bool):
     """Element residual in cell-last layout.
@@ -201,16 +216,22 @@ def _residual_core(u, phi, phi_old, phi_oold, ca: CellArrays, sc: Scalars,
     Returns (ru (n_v*dim,), rp (n_v,)) — raw scatter-add, no constraints.
     """
     nvc = ca.gather_p.shape[0]
-    u_e = u[ca.gather_u].reshape(nvc, dim, -1)   # (a, d, c)
-    phi_e = phi[ca.gather_p]                     # (a, c)
-    ru_e, rp_e = _element_residual_cl(
-        u_e, phi_e, phi_old[ca.gather_p], phi_oold[ca.gather_p], ca, sc,
-        dim=dim, with_split=with_split, monolithic=monolithic)
+    n_c = ca.gather_p.shape[1]
     n_ud = u.shape[0]
     n_v = phi.shape[0]
-    ru = jnp.zeros(n_ud, dtype=u.dtype).at[ca.gather_u].add(
-        ru_e.reshape(nvc * dim, -1))
-    rp = jnp.zeros(n_v, dtype=u.dtype).at[ca.gather_p].add(rp_e)
+    ru = jnp.zeros(n_ud, dtype=u.dtype)
+    rp = jnp.zeros(n_v, dtype=u.dtype)
+    for s in range(0, n_c, CELL_CHUNK):
+        e = min(s + CELL_CHUNK, n_c)
+        cac = _slice_cells(ca, s, e) if n_c > CELL_CHUNK else ca
+        u_e = u[cac.gather_u].reshape(nvc, dim, -1)   # (a, d, c)
+        phi_e = phi[cac.gather_p]                     # (a, c)
+        ru_e, rp_e = _element_residual_cl(
+            u_e, phi_e, phi_old[cac.gather_p], phi_oold[cac.gather_p],
+            cac, sc, dim=dim, with_split=with_split,
+            monolithic=monolithic)
+        ru = ru.at[cac.gather_u].add(ru_e.reshape(nvc * dim, -1))
+        rp = rp.at[cac.gather_p].add(rp_e)
     return ru, rp
 
 
@@ -310,35 +331,45 @@ def element_matrices(u, phi, phi_old, phi_oold, ca: CellArrays, sc: Scalars,
     ndl = nvc * (dim + 1)
 
     if cell_last:
-        n_c = ca.gather_p.shape[1]
-        u_e = u[ca.gather_u].reshape(nvc, dim, n_c)
-        phi_e = phi[ca.gather_p]
-        pf_old_e = phi_old[ca.gather_p]
-        pf_oold_e = phi_oold[ca.gather_p]
+        n_c_all = ca.gather_p.shape[1]
+        chunks = []
+        for s in range(0, n_c_all, CELL_CHUNK):
+            end = min(s + CELL_CHUNK, n_c_all)
+            cac = (_slice_cells(ca, s, end)
+                   if n_c_all > CELL_CHUNK else ca)
+            n_c = end - s
+            u_e = u[cac.gather_u].reshape(nvc, dim, n_c)
+            phi_e = phi[cac.gather_p]
+            pf_old_e = phi_old[cac.gather_p]
+            pf_oold_e = phi_oold[cac.gather_p]
 
-        def f(ue, pe):
-            ru_e, rp_e = _element_residual_cl(
-                ue, pe, pf_old_e, pf_oold_e, ca, sc, dim=dim,
-                with_split=with_split, monolithic=monolithic)
-            return jnp.concatenate(
-                [ru_e.reshape(nvc * dim, n_c), rp_e], axis=0)
+            def f(ue, pe):
+                ru_e, rp_e = _element_residual_cl(
+                    ue, pe, pf_old_e, pf_oold_e, cac, sc, dim=dim,
+                    with_split=with_split, monolithic=monolithic)
+                return jnp.concatenate(
+                    [ru_e.reshape(nvc * dim, n_c), rp_e], axis=0)
 
-        cols = []
-        for j in range(ndl):
-            if j < nvc * dim:
-                a, d = divmod(j, dim)
-                tu = jnp.zeros((nvc, dim), u.dtype).at[a, d].set(1.0)
-                du_t = jnp.broadcast_to(tu[:, :, None], (nvc, dim, n_c))
-                dp_t = jnp.zeros((nvc, n_c), u.dtype)
-            else:
-                a = j - nvc * dim
-                du_t = jnp.zeros((nvc, dim, n_c), u.dtype)
-                dp_t = jnp.broadcast_to(
-                    jnp.zeros(nvc, u.dtype).at[a].set(1.0)[:, None],
-                    (nvc, n_c))
-            _, dcol = jax.jvp(f, (u_e, phi_e), (du_t, dp_t))
-            cols.append(-dcol)                    # J = -d(rhs)
-        return jnp.stack(cols, axis=1)            # (ndl, ndl, n_c)
+            cols = []
+            for j in range(ndl):
+                if j < nvc * dim:
+                    a, d = divmod(j, dim)
+                    tu = jnp.zeros((nvc, dim), u.dtype).at[a, d].set(1.0)
+                    du_t = jnp.broadcast_to(tu[:, :, None],
+                                            (nvc, dim, n_c))
+                    dp_t = jnp.zeros((nvc, n_c), u.dtype)
+                else:
+                    a = j - nvc * dim
+                    du_t = jnp.zeros((nvc, dim, n_c), u.dtype)
+                    dp_t = jnp.broadcast_to(
+                        jnp.zeros(nvc, u.dtype).at[a].set(1.0)[:, None],
+                        (nvc, n_c))
+                _, dcol = jax.jvp(f, (u_e, phi_e), (du_t, dp_t))
+                cols.append(-dcol)                # J = -d(rhs)
+            chunks.append(jnp.stack(cols, axis=1))
+        if len(chunks) == 1:
+            return chunks[0]                      # (ndl, ndl, n_c)
+        return jnp.concatenate(chunks, axis=2)
 
     def local(x, pf_old_e, pf_oold_e, JxW, grads, lam, mu, invd2):
         u_e = x[: nvc * dim].reshape(nvc, dim)

@@ -379,9 +379,13 @@ def _coarse_dense_factor(lv0: _LOps, lo, hi, k):
     return jax.scipy.linalg.cho_factor(A0s), s
 
 
-def make_vcycle(levels, lo, hi, k, degree=2):
+def make_vcycle(levels, lo, hi, k, degree=2, coarse_factor=None):
     L = len(levels)
-    cho, cho_scale = _coarse_dense_factor(levels[0], lo, hi, k)
+    if coarse_factor is None:
+        cho, cho_scale = _coarse_dense_factor(levels[0], lo, hi, k)
+    else:
+        cho_c, cho_scale = coarse_factor
+        cho = (cho_c, False)
     shape0 = levels[0].free.shape
 
     def cycle(l, b):
@@ -470,20 +474,36 @@ def _op64_apply(u, phi, phi_old, phi_oold, ca64, sc, con, active, xu,
     return condense_residual(-ju, -jp, con, active)
 
 
-@partial(jax.jit, static_argnames=("GY", "GX", "which", "degree",
-                                   "inner_max"))
-def _cg_pass(jacs, dir_u, dir_p, vert_pos, active, r_g, rr0, rtol,
-             target2, *, GY, GX, which, degree=2, inner_max=64):
-    """One float32 lattice-GMG CG pass on the scaled residual; returns
-    (dx in f64 global layout, inner iterations)."""
+@partial(jax.jit, static_argnames=("GY", "which"))
+def _prepare_levels(jacs, dir_u, dir_p, vert_pos, active, *, GY: int,
+                    which: str):
+    """Per-block level operator data + the coarse dense factor, built
+    ONCE per Newton solve (not per restart pass)."""
     k = 2 if which == "u" else 1
     lo, hi = (0, 8) if which == "u" else (8, 12)
+    GX = jacs[-1].shape[3] + 1
     active_L = jnp.zeros((GY * GX,), bool).at[vert_pos].set(
         active)[None].reshape(1, GY, GX)
     levels = _build_block_levels(list(jacs), dir_u, dir_p, GY, active_L,
                                  lo, hi, k, which)
+    (cho_c, _lower), scale = _coarse_dense_factor(levels[0], lo, hi, k)
+    # drop the python bool from cho_factor's return (it cannot cross the
+    # jit boundary); cho_solve is reconstructed with lower=False
+    return tuple(levels), (cho_c, scale)
+
+
+@partial(jax.jit, static_argnames=("GY", "GX", "which", "degree",
+                                   "inner_max"))
+def _cg_pass(levels, coarse, vert_pos, r_g, rr0, rtol,
+             target2, *, GY, GX, which, degree=2, inner_max=96):
+    """One float32 lattice-GMG CG pass on the scaled residual; returns
+    (dx in f64 global layout, inner iterations)."""
+    k = 2 if which == "u" else 1
+    lo, hi = (0, 8) if which == "u" else (8, 12)
+    levels = list(levels)
     fin = levels[-1]
-    M32 = make_vcycle(levels, lo, hi, k, degree=degree)
+    M32 = make_vcycle(levels, lo, hi, k, degree=degree,
+                      coarse_factor=coarse)
     op32 = _masked_mv(fin, lo, hi, k)
 
     scale = jnp.sqrt(rr0)
@@ -497,8 +517,12 @@ def _cg_pass(jacs, dir_u, dir_p, vert_pos, active, r_g, rr0, rtol,
             jnp.zeros((GY * GX, k), jnp.float32).at[vert_pos].set(rm)
             .reshape(GY, GX, k), -1, 0)
     R0 = jnp.where(fin.free, R0, 0.0)
+    # pass target 1e-6 relative: the f32 V-cycle-preconditioned CG
+    # reaches it reliably on the normalized system, and a deeper pass
+    # halves the number of restarts (each restart costs a ~0.2 s f64
+    # exact-residual application)
     tol2 = jnp.asarray(
-        jnp.maximum(jnp.maximum(rtol, 1e-5) ** 2,
+        jnp.maximum(jnp.maximum(rtol, 1e-6) ** 2,
                     jnp.where(rr0 > 0, target2 / rr0, 1.0)), jnp.float32)
     Z0 = M32(R0)
 
@@ -558,6 +582,9 @@ def _solve_split(sys, hier: LatticeHierarchy, u, phi, phi_old, phi_oold,
 
     def block(which, b):
         nonlocal total_its
+        levels, coarse = _prepare_levels(
+            jacs, hier.dir_u, hier.dir_p, hier.vert_pos, active,
+            GY=hier.GY, which=which)
         bnorm = float(jnp.sqrt(jnp.vdot(b, b).real))
         target2 = max(rtol * bnorm, 100.0 * eps64 * bnorm) ** 2
         x_acc = jnp.zeros_like(b)
@@ -566,8 +593,7 @@ def _solve_split(sys, hier: LatticeHierarchy, u, phi, phi_old, phi_oold,
         for _ in range(passes):
             if rr_cur <= target2:
                 break
-            dx, k = _cg_pass(jacs, hier.dir_u, hier.dir_p,
-                             hier.vert_pos, active, r_cur,
+            dx, k = _cg_pass(levels, coarse, hier.vert_pos, r_cur,
                              jnp.asarray(rr_cur), rtol,
                              jnp.asarray(target2), GY=hier.GY,
                              GX=hier.GX, which=which)

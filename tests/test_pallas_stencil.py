@@ -1,0 +1,25 @@
+"""Pallas lattice stencil-matvec kernel vs the XLA slice formulation.
+
+Runs in Pallas interpreter mode so it verifies on the CPU test mesh;
+the compiled-TPU measurement lives in PERFORMANCE.md."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cracks_tpu.ops import pallas_stencil as ps
+from cracks_tpu.solvers import lattice as lat
+
+
+@pytest.mark.parametrize("k,lo,hi", [(2, 0, 8), (1, 8, 12)])
+def test_stencil_matvec_matches_xla(k, lo, hi):
+    rng = np.random.default_rng(0)
+    GY = GX = 41
+    jacL = jnp.asarray(rng.normal(size=(12, 12, GY - 1, GX - 1)),
+                       jnp.float32)
+    X = jnp.asarray(rng.normal(size=(k, GY, GX)), jnp.float32)
+    y_ref = lat.matvec(jacL, X, lo, hi, k)
+    y_pl = ps.stencil_matvec(jacL[lo:hi, lo:hi], X, k=k, ty=16, tx=16,
+                             interpret=True)
+    np.testing.assert_allclose(np.asarray(y_pl), np.asarray(y_ref),
+                               rtol=1e-5, atol=1e-4)

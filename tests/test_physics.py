@@ -115,3 +115,44 @@ def test_3d_residual_runs():
     ru, rp = physics.assemble_residual(u, phi, phi_old, phi_oold, ca, sc, **kw)
     assert np.isfinite(np.asarray(ru)).all()
     assert np.isfinite(np.asarray(rp)).all()
+
+
+def test_chunked_cell_sweep_equals_unchunked(monkeypatch):
+    """The CELL_CHUNK-bounded element sweep (OOM guard for >=400k-cell
+    meshes) must be exact."""
+    import jax.numpy as jnp
+    import numpy as np
+    from cracks_tpu import meshio, problems
+    from cracks_tpu.config import Parameters
+    from cracks_tpu.mesh import Forest
+    from cracks_tpu.ops import physics
+
+    f = Forest(meshio.rect_mesh([0, 0], [1, 1]))
+    f.refine_global(1)
+    mesh = f.extract()
+    p = Parameters(test_case="sneddon", pressure_expr="1.0e-3",
+                   G_c=1.0, poisson_ratio_nu=0.2, E_modulus=1.0)
+    lam, mu = problems.cell_lame_fields(p, mesh, None)
+    ca = physics.build_cell_arrays(mesh, lam, mu)
+    sc = physics.make_scalars(1e-3, 1e-8, 0.2, 1.0, 0.0, 1.0, 1.0, 0.0)
+    rng = np.random.default_rng(0)
+    u = jnp.asarray(rng.normal(size=mesh.n_vertices * 2) * 1e-2)
+    phi = jnp.asarray(rng.uniform(0.1, 1.0, mesh.n_vertices))
+    kw = dict(dim=2, with_split=True, monolithic=False)
+    r_ref = physics.assemble_residual(u, phi, phi, phi, ca, sc, **kw)
+    j_ref = physics.element_matrices(u, phi, phi, phi, ca, sc,
+                                     cell_last=True, **kw)
+    monkeypatch.setattr(physics, "CELL_CHUNK", 100)
+    physics.assemble_residual._clear_cache()
+    physics.element_matrices._clear_cache()
+    r_chk = physics.assemble_residual(u, phi, phi, phi, ca, sc, **kw)
+    j_chk = physics.element_matrices(u, phi, phi, phi, ca, sc,
+                                     cell_last=True, **kw)
+    physics.assemble_residual._clear_cache()
+    physics.element_matrices._clear_cache()
+    np.testing.assert_allclose(np.asarray(r_chk[0]), np.asarray(r_ref[0]),
+                               rtol=0, atol=1e-13)
+    np.testing.assert_allclose(np.asarray(r_chk[1]), np.asarray(r_ref[1]),
+                               rtol=0, atol=1e-13)
+    np.testing.assert_allclose(np.asarray(j_chk), np.asarray(j_ref),
+                               rtol=1e-12, atol=1e-12)
