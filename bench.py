@@ -15,7 +15,9 @@ vector-valued kernel), scaled linearly in DoFs.
 
 Environment knobs:
   BENCH_REFINE   global refinements of the 10x10 root grid
-                 (default 4 -> 25600 cells, 78k DoFs)
+                 (default 5 -> 102400 cells, 309k DoFs; refine 6 =
+                 1.23M DoFs compiles >1h on the tunnel worker and is
+                 not used as the default yet)
   BENCH_STEPS    timed load steps (default 2)
   BENCH_DTYPE    float64 (default) or float32
   BENCH_PRECOND  gmg (default) or jacobi
@@ -71,7 +73,7 @@ def _run_once(refine, dtype, precond, n_steps):
 
 
 def main():
-    refine = int(os.environ.get("BENCH_REFINE", "4"))
+    refine = int(os.environ.get("BENCH_REFINE", "5"))
     n_steps = int(os.environ.get("BENCH_STEPS", "2"))
     dtype = os.environ.get("BENCH_DTYPE", "float64")
     precond = os.environ.get("BENCH_PRECOND", "gmg")
