@@ -36,12 +36,15 @@ from jax.experimental.pallas import tpu as pltpu
 _OFFS = [(0, 0), (0, 1), (1, 0), (1, 1)]   # corner a -> (oy, ox)
 
 
-def _kernel(j_hbm, x_hbm, y_ref, jt, xt, sem_j, sem_x, *, k, TY, TX):
+def _kernel(j_hbm, x_hbm, y_ref, jt, xt, sem_j, sem_x, *, k, TY_, TX_):
     # halo'd tiles are DMA'd at (8, 128)-aligned sizes (TY+8, TX+128):
     # Mosaic requires slice shapes aligned to the tiling; the extra
     # rows/cols beyond the +1/+2 halo are simply unused
-    i = pl.program_id(0)
-    j = pl.program_id(1)
+    # under jax_enable_x64 the program ids trace as s64, which Mosaic's
+    # memref slicing rejects — force i32 (slice sizes stay static)
+    i = jnp.asarray(pl.program_id(0), jnp.int32)
+    j = jnp.asarray(pl.program_id(1), jnp.int32)
+    TY, TX = TY_, TX_
     kl = 4 * k
     cp_j = pltpu.make_async_copy(
         j_hbm.at[:, :, pl.ds(i * TY, TY + 8), pl.ds(j * TX, TX + 128)],
@@ -67,6 +70,35 @@ def _kernel(j_hbm, x_hbm, y_ref, jt, xt, sem_j, sem_x, *, k, TY, TX):
         y_ref[d] = acc
 
 
+def pad_jac(jacL, *, ty: int = 128, tx: int = 128):
+    """One-off padded jac layout for `stencil_matvec_prepadded`: 1-ring
+    zero pad (out-of-domain cells contribute zero) grown to the tile
+    grid + the (8, 128) DMA-alignment margin.  Hoist this out of the
+    per-matvec path (it costs ~2x the kernel itself)."""
+    kl = jacL.shape[0]
+    GCY, GCX = jacL.shape[2], jacL.shape[3]
+    nty = -(-(GCY + 1) // ty)
+    ntx = -(-(GCX + 1) // tx)
+    JP = jnp.zeros((kl, kl, nty * ty + 8, ntx * tx + 128), jnp.float32)
+    return JP.at[:, :, 1: 1 + GCY, 1: 1 + GCX].set(jacL)
+
+
+@partial(jax.jit, static_argnames=("k", "GY", "GX", "ty", "tx",
+                                   "interpret"))
+def stencil_matvec_prepadded(JP, X, *, k: int, GY: int, GX: int,
+                             ty: int = 128, tx: int = 128,
+                             interpret: bool = False):
+    """Y = A X with the jac already in `pad_jac` layout."""
+    kl = 4 * k
+    nty = -(-GY // ty)
+    ntx = -(-GX // tx)
+    XP = jnp.zeros((k, nty * ty + 8, ntx * tx + 128), jnp.float32)
+    XP = XP.at[:, 1: 1 + GY, 1: 1 + GX].set(X)
+    out = _call_kernel(JP, XP, k=k, ty=ty, tx=tx, nty=nty, ntx=ntx,
+                       interpret=interpret)
+    return out[:, :GY, :GX]
+
+
 @partial(jax.jit, static_argnames=("k", "ty", "tx", "interpret"))
 def stencil_matvec(jacL, X, *, k: int, ty: int = 128, tx: int = 128,
                    interpret: bool = False):
@@ -78,17 +110,15 @@ def stencil_matvec(jacL, X, *, k: int, ty: int = 128, tx: int = 128,
     assert kk == k and jacL.shape[:2] == (kl, kl)
     GCY, GCX = jacL.shape[2], jacL.shape[3]
     assert (GCY, GCX) == (GY - 1, GX - 1)
-    nty = -(-GY // ty)
-    ntx = -(-GX // tx)
-    # 1-ring zero pad on J (out-of-domain cells contribute zero) grown
-    # to the tile grid + aligned halo margin; 1+halo frame on X
-    JP = jnp.zeros((kl, kl, nty * ty + 8, ntx * tx + 128), jnp.float32)
-    JP = JP.at[:, :, 1: 1 + GCY, 1: 1 + GCX].set(jacL)
-    XP = jnp.zeros((k, nty * ty + 8, ntx * tx + 128), jnp.float32)
-    XP = XP.at[:, 1: 1 + GY, 1: 1 + GX].set(X)
+    JP = pad_jac(jacL, ty=ty, tx=tx)
+    return stencil_matvec_prepadded(JP, X, k=k, GY=GY, GX=GX, ty=ty,
+                                    tx=tx, interpret=interpret)
 
+
+def _call_kernel(JP, XP, *, k, ty, tx, nty, ntx, interpret):
+    kl = 4 * k
     out = pl.pallas_call(
-        partial(_kernel, k=k, TY=ty, TX=tx),
+        partial(_kernel, k=k, TY_=ty, TX_=tx),
         grid=(nty, ntx),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
@@ -106,4 +136,4 @@ def stencil_matvec(jacL, X, *, k: int, ty: int = 128, tx: int = 128,
             pltpu.SemaphoreType.DMA(()),
         ],
     )(JP, XP)
-    return out[:, :GY, :GX]
+    return out

@@ -379,7 +379,8 @@ def _coarse_dense_factor(lv0: _LOps, lo, hi, k):
     return jax.scipy.linalg.cho_factor(A0s), s
 
 
-def make_vcycle(levels, lo, hi, k, degree=2, coarse_factor=None):
+def make_vcycle(levels, lo, hi, k, degree=2, coarse_factor=None,
+                fine_op=None):
     L = len(levels)
     if coarse_factor is None:
         cho, cho_scale = _coarse_dense_factor(levels[0], lo, hi, k)
@@ -396,7 +397,8 @@ def make_vcycle(levels, lo, hi, k, degree=2, coarse_factor=None):
             x = (cho_scale * jax.scipy.linalg.cho_solve(cho, bs)
                  ).astype(b.dtype).reshape(shape0)
             return jnp.where(lv.free, x, 0.0)
-        op = _masked_mv(lv, lo, hi, k)
+        op = (fine_op if (fine_op is not None and l == L - 1)
+              else _masked_mv(lv, lo, hi, k))
         x = _chebyshev(op, lv.Dinv, b, lv.lam, degree)
         r = b - op(x)
         r_c = restrict(r, k)
@@ -474,11 +476,13 @@ def _op64_apply(u, phi, phi_old, phi_oold, ca64, sc, con, active, xu,
     return condense_residual(-ju, -jp, con, active)
 
 
-@partial(jax.jit, static_argnames=("GY", "which"))
+@partial(jax.jit, static_argnames=("GY", "which", "pallas"))
 def _prepare_levels(jacs, dir_u, dir_p, vert_pos, active, *, GY: int,
-                    which: str):
+                    which: str, pallas: bool = False):
     """Per-block level operator data + the coarse dense factor, built
-    ONCE per Newton solve (not per restart pass)."""
+    ONCE per Newton solve (not per restart pass).  With pallas=True the
+    finest-level jac block is additionally laid out in the Pallas
+    kernel's padded format (ops/pallas_stencil.pad_jac)."""
     k = 2 if which == "u" else 1
     lo, hi = (0, 8) if which == "u" else (8, 12)
     GX = jacs[-1].shape[3] + 1
@@ -489,22 +493,40 @@ def _prepare_levels(jacs, dir_u, dir_p, vert_pos, active, *, GY: int,
     (cho_c, _lower), scale = _coarse_dense_factor(levels[0], lo, hi, k)
     # drop the python bool from cho_factor's return (it cannot cross the
     # jit boundary); cho_solve is reconstructed with lower=False
-    return tuple(levels), (cho_c, scale)
+    fine_pad = None
+    if pallas:
+        from ..ops import pallas_stencil as ps
+        fine_pad = ps.pad_jac(jacs[-1][lo:hi, lo:hi])
+    return tuple(levels), (cho_c, scale), fine_pad
 
 
 @partial(jax.jit, static_argnames=("GY", "GX", "which", "degree",
                                    "inner_max"))
-def _cg_pass(levels, coarse, vert_pos, r_g, rr0, rtol,
+def _cg_pass(levels, coarse, fine_pad, vert_pos, r_g, rr0, rtol,
              target2, *, GY, GX, which, degree=2, inner_max=96):
     """One float32 lattice-GMG CG pass on the scaled residual; returns
-    (dx in f64 global layout, inner iterations)."""
+    (dx in f64 global layout, inner iterations).
+
+    With fine_pad given, the finest-level matvec (the dominant op in
+    both the CG loop and the V-cycle smoother) runs through the Pallas
+    stencil kernel on the pre-padded jac layout."""
     k = 2 if which == "u" else 1
     lo, hi = (0, 8) if which == "u" else (8, 12)
     levels = list(levels)
     fin = levels[-1]
+    if fine_pad is not None:
+        from ..ops import pallas_stencil as ps
+
+        def fine_op(X):
+            X = jnp.where(fin.free, X, 0.0)
+            Y = ps.stencil_matvec_prepadded(fine_pad, X, k=k, GY=GY,
+                                            GX=GX)
+            return jnp.where(fin.free, Y, 0.0)
+    else:
+        fine_op = _masked_mv(fin, lo, hi, k)
     M32 = make_vcycle(levels, lo, hi, k, degree=degree,
-                      coarse_factor=coarse)
-    op32 = _masked_mv(fin, lo, hi, k)
+                      coarse_factor=coarse, fine_op=fine_op)
+    op32 = fine_op
 
     scale = jnp.sqrt(rr0)
     inv_scale = jnp.where(scale > 0, 1.0 / scale, 0.0)
@@ -580,11 +602,23 @@ def _solve_split(sys, hier: LatticeHierarchy, u, phi, phi_old, phi_oold,
     total_its = 0
     last_ju_pu = [None]   # J_pu du of the final accepted u iterate
 
+    # The Pallas stencil kernel is opt-in (CRACKS_TPU_PALLAS=1): it is
+    # validated standalone (tests/test_pallas_stencil.py, measured 1.3x
+    # the XLA matvec on TPU), but XLA's X64-rewrite pass currently
+    # cannot process a computation that mixes the tpu_custom_call with
+    # f64 ops ("While rewriting computation to not contain X64 element
+    # types ... not implemented"), and the solve needs f64 for the
+    # coarse factor + refinement scalars.  Revisit when the kernel can
+    # live in an all-f32 jit or the rewrite pass learns custom calls.
+    import os
+    use_pallas = (os.environ.get("CRACKS_TPU_PALLAS") == "1"
+                  and jax.default_backend() != "cpu")
+
     def block(which, b):
         nonlocal total_its
-        levels, coarse = _prepare_levels(
+        levels, coarse, fine_pad = _prepare_levels(
             jacs, hier.dir_u, hier.dir_p, hier.vert_pos, active,
-            GY=hier.GY, which=which)
+            GY=hier.GY, which=which, pallas=use_pallas)
         bnorm = float(jnp.sqrt(jnp.vdot(b, b).real))
         target2 = max(rtol * bnorm, 100.0 * eps64 * bnorm) ** 2
         x_acc = jnp.zeros_like(b)
@@ -593,8 +627,8 @@ def _solve_split(sys, hier: LatticeHierarchy, u, phi, phi_old, phi_oold,
         for _ in range(passes):
             if rr_cur <= target2:
                 break
-            dx, k = _cg_pass(levels, coarse, hier.vert_pos, r_cur,
-                             jnp.asarray(rr_cur), rtol,
+            dx, k = _cg_pass(levels, coarse, fine_pad, hier.vert_pos,
+                             r_cur, jnp.asarray(rr_cur), rtol,
                              jnp.asarray(target2), GY=hier.GY,
                              GX=hier.GX, which=which)
             total_its += int(k)
