@@ -139,3 +139,42 @@ def test_halo_cg_matches_single_device():
                                atol=1e-6 * scale_u)
     np.testing.assert_allclose(dp, np.asarray(dp_ref), rtol=0,
                                atol=1e-6 * scale_p)
+
+
+def test_halo_residual_matches_replicated_3d():
+    """The halo machinery is dimension-agnostic: 3d octree partition
+    with face/edge/corner ghosts must reproduce the replicated
+    residual."""
+    f = Forest(meshio.rect_mesh([-10, -10, -10], [10, 10, 10]))
+    f.refine_global(1)
+    mesh = f.extract()
+    dmesh = _dev_mesh()
+    p = Parameters(test_case="sneddon", dimension=3,
+                   pressure_expr="1.0e-3", G_c=1.0,
+                   poisson_ratio_nu=0.2, E_modulus=1.0)
+    lam, mu = problems.cell_lame_fields(p, mesh, None)
+    ca = physics.build_cell_arrays(mesh, lam, mu)
+    sc = physics.make_scalars(
+        pressure=1e-3, constant_k=1e-8, alpha_eps=2.5, G_c=1.0,
+        gamma_dt=0.0, theta=1.0, use_old_pf=1.0, decompose_rhs=0.0)
+    part = halo.build_halo_partition(mesh, lam, mu, 8)
+    part = halo.device_put_partition(part, dmesh)
+
+    rng = np.random.default_rng(1)
+    u = rng.normal(size=mesh.n_vertices * 3) * 1e-3
+    phi = rng.uniform(0.2, 1.0, mesh.n_vertices)
+    ru_ref, rp_ref = physics.assemble_residual(
+        jnp.asarray(u), jnp.asarray(phi), jnp.asarray(phi),
+        jnp.asarray(phi), ca, sc, dim=3, with_split=False,
+        monolithic=False)
+
+    fn = halo.halo_residual_fn(dmesh, part, with_split=False,
+                               monolithic=False)
+    ru_l, rp_l = fn(jnp.asarray(halo.global_to_local_u(part, u)),
+                    jnp.asarray(halo.global_to_local_p(part, phi)),
+                    jnp.asarray(halo.global_to_local_p(part, phi)),
+                    jnp.asarray(halo.global_to_local_p(part, phi)), sc)
+    ru = halo.local_to_global_u(part, np.asarray(ru_l))
+    rp = halo.local_to_global_p(part, np.asarray(rp_l))
+    np.testing.assert_allclose(ru, np.asarray(ru_ref), rtol=0, atol=1e-11)
+    np.testing.assert_allclose(rp, np.asarray(rp_ref), rtol=0, atol=1e-11)
