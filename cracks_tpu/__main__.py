@@ -28,6 +28,10 @@ def main(argv=None):
                 rc = pytest.main(["-q", spectral])
             except ImportError:  # pragma: no cover
                 print("(pytest unavailable — skipping unit tests)")
+        if rc != 0:
+            # mirror the reference's early return on unit-test failure
+            # (cracks.cc:4589-4594): no default.prm is emitted
+            return int(rc)
         from .config import default_parameters, dump_parameters
         with open("default.prm", "w") as f:
             f.write(dump_parameters(default_parameters()))

@@ -64,11 +64,16 @@ class System:
         self.mu_cells = mu
         dtype = jnp.float64 if params.dtype == "float64" else jnp.float32
         self.dtype = dtype
-        self.ca = physics.build_cell_arrays(mesh, lam, mu, dtype=dtype)
+        # chunk-major scan layout only on the single-chip path: the SPMD
+        # path shards the cell axis itself (parallel/sharding.py)
+        one_chip = params.n_devices == 1
+        self.ca = physics.build_cell_arrays(mesh, lam, mu, dtype=dtype,
+                                            chunk=one_chip)
         self.ca32 = None
         if params.mixed_precision_cg and dtype == jnp.float64:
             self.ca32 = physics.build_cell_arrays(mesh, lam, mu,
-                                                  dtype=jnp.float32)
+                                                  dtype=jnp.float32,
+                                                  chunk=one_chip)
         if params.n_devices > 1:
             # SPMD domain decomposition: shard the element arrays over the
             # device mesh; XLA's partitioner parallelizes the jitted

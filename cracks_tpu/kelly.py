@@ -50,11 +50,15 @@ def _inverse_map(Xcell: np.ndarray, xphys: np.ndarray,
         N = q1_shape_values(xi, dim)              # (m, 2^dim)
         G = q1_shape_grads(xi, dim)               # (m, 2^dim, dim)
         R = np.einsum("ma,mad->md", N, Xcell) - xphys
-        J = np.einsum("mad,mae->mde", Xcell, G)
-        step = np.linalg.solve(J.transpose(0, 2, 1), R[..., None])[..., 0]
+        J = np.einsum("mad,mae->mde", Xcell, G)   # J[d,e] = dx_d/dxi_e
+        step = np.linalg.solve(J, R[..., None])[..., 0]
         xi = xi - step
         if np.abs(step).max() < 1e-13:
             break
+    else:
+        import warnings
+        warnings.warn("kelly._inverse_map: Newton on the Q1 map did not "
+                      f"converge (max |step| {np.abs(step).max():.2e})")
     return xi
 
 

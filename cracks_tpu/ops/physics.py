@@ -52,6 +52,23 @@ from .spectral import stress_split_components
 ALPHA_BIOT = 0.0  # reference cracks.cc:1497
 
 
+class ChunkedCells(NamedTuple):
+    """Chunk-major copy of the per-cell data for ``lax.scan`` sweeps.
+
+    Every array carries a leading chunk axis: (n_chunks, ..., chunk).
+    Padding cells (up to chunk alignment) have JxW = 0 and gather
+    indices 0, so they contribute exactly zero (the spectral split is
+    zero-strain-safe, spectral.py:88-99)."""
+
+    gather_u: jax.Array   # (n_chunks, nvc*dim, ch) int32
+    gather_p: jax.Array   # (n_chunks, nvc, ch) int32
+    JxW: jax.Array        # (n_chunks, n_q, ch)
+    grads: jax.Array      # (n_chunks, n_q, nvc, dim, ch)
+    lam: jax.Array        # (n_chunks, ch)
+    mu: jax.Array         # (n_chunks, ch)
+    inv_diam2: jax.Array  # (n_chunks, ch)
+
+
 class CellArrays(NamedTuple):
     """Static per-mesh element data resident on device (cell axis LAST)."""
 
@@ -63,6 +80,11 @@ class CellArrays(NamedTuple):
     lam: jax.Array        # (n_c,) per-cell Lame lambda
     mu: jax.Array         # (n_c,) per-cell Lame mu
     inv_diam2: jax.Array  # (n_c,) 1/diameter^2 (gamma penalization scaling)
+    # chunk-major duplicate for scan-based element sweeps on meshes with
+    # > CELL_CHUNK cells (keeps the compiled HLO at one chunk body
+    # instead of unrolling n_chunks copies — the Python-unrolled loop
+    # made the refine-6 Sneddon kernels take > 1 h to compile)
+    chunked: ChunkedCells | None = None
 
 
 class Scalars(NamedTuple):
@@ -198,7 +220,51 @@ def _element_residual_cl(u_e, phi_e, pf_old_e, pf_oold_e, ca: CellArrays,
 # chunks: XLA's rematerialization otherwise spills multi-GB padded
 # f64-emulation temps at ~400k cells (measured 6.25 GB single temps,
 # OOM on the 16 GB chip).  131072 cells is the proven-safe size.
+# Chunked sweeps run as lax.scan over a chunk-major copy of the cell
+# data (CellArrays.chunked) so the compiled HLO contains ONE chunk body.
 CELL_CHUNK = 131072
+
+
+def chunk_spec(n_c: int) -> tuple[int, int] | None:
+    """(n_chunks, chunk) for a scan sweep, or None if no chunking is
+    needed.  The chunk size is lane-aligned (multiple of 128) and the
+    chunk count minimal, so padding waste stays small."""
+    if n_c <= CELL_CHUNK:
+        return None
+    n_chunks = -(-n_c // CELL_CHUNK)
+    ch = -(-n_c // n_chunks)
+    ch = -(-ch // 128) * 128
+    return n_chunks, ch
+
+
+def make_chunked(gather_u, gather_p, JxW, grads, lam, mu, inv_diam2,
+                 dtype) -> ChunkedCells | None:
+    """Chunk-major device copy of host cell-last arrays (see
+    ChunkedCells).  Inputs are numpy, cell axis last."""
+    n_c = gather_p.shape[-1]
+    spec = chunk_spec(n_c)
+    if spec is None:
+        return None
+    n_chunks, ch = spec
+
+    def prep(a, fill, dt):
+        a = np.asarray(a)
+        pad = n_chunks * ch - n_c
+        if pad:
+            a = np.concatenate(
+                [a, np.full(a.shape[:-1] + (pad,), fill, a.dtype)],
+                axis=-1)
+        a = a.reshape(a.shape[:-1] + (n_chunks, ch))
+        return jnp.asarray(np.moveaxis(a, -2, 0), dtype=dt)
+
+    return ChunkedCells(
+        gather_u=prep(gather_u, 0, jnp.int32),
+        gather_p=prep(gather_p, 0, jnp.int32),
+        JxW=prep(JxW, 0.0, dtype),
+        grads=prep(grads, 0.0, dtype),
+        lam=prep(lam, 1.0, dtype),
+        mu=prep(mu, 1.0, dtype),
+        inv_diam2=prep(inv_diam2, 1.0, dtype))
 
 
 def _slice_cells(ca: CellArrays, s: int, e: int) -> CellArrays:
@@ -207,6 +273,14 @@ def _slice_cells(ca: CellArrays, s: int, e: int) -> CellArrays:
         JxW=ca.JxW[:, s:e], grads=ca.grads[..., s:e],
         shape_v=ca.shape_v, lam=ca.lam[s:e], mu=ca.mu[s:e],
         inv_diam2=ca.inv_diam2[s:e])
+
+
+def _chunk_cells(ca: CellArrays, c: ChunkedCells) -> CellArrays:
+    """CellArrays view of one scanned chunk (shape_v is shared)."""
+    return CellArrays(
+        gather_u=c.gather_u, gather_p=c.gather_p, JxW=c.JxW,
+        grads=c.grads, shape_v=ca.shape_v, lam=c.lam, mu=c.mu,
+        inv_diam2=c.inv_diam2)
 
 
 def _residual_core(u, phi, phi_old, phi_oold, ca: CellArrays, sc: Scalars,
@@ -221,6 +295,23 @@ def _residual_core(u, phi, phi_old, phi_oold, ca: CellArrays, sc: Scalars,
     n_v = phi.shape[0]
     ru = jnp.zeros(n_ud, dtype=u.dtype)
     rp = jnp.zeros(n_v, dtype=u.dtype)
+
+    if ca.chunked is not None:
+        def body(carry, c):
+            ru_, rp_ = carry
+            cac = _chunk_cells(ca, c)
+            u_e = u[cac.gather_u].reshape(nvc, dim, -1)
+            ru_e, rp_e = _element_residual_cl(
+                u_e, phi[cac.gather_p], phi_old[cac.gather_p],
+                phi_oold[cac.gather_p], cac, sc, dim=dim,
+                with_split=with_split, monolithic=monolithic)
+            ru_ = ru_.at[cac.gather_u].add(ru_e.reshape(nvc * dim, -1))
+            rp_ = rp_.at[cac.gather_p].add(rp_e)
+            return (ru_, rp_), None
+
+        (ru, rp), _ = jax.lax.scan(body, (ru, rp), ca.chunked)
+        return ru, rp
+
     for s in range(0, n_c, CELL_CHUNK):
         e = min(s + CELL_CHUNK, n_c)
         cac = _slice_cells(ca, s, e) if n_c > CELL_CHUNK else ca
@@ -307,6 +398,44 @@ def _single_cell_residual(u_e, phi_e, pf_old_e, pf_oold_e, JxW, grads,
     return ru_e, rp_e
 
 
+def _element_matrices_chunk(u, phi, phi_old, phi_oold, cac: CellArrays,
+                            sc: Scalars, *, nvc: int, dim: int,
+                            with_split: bool, monolithic: bool):
+    """(ndl, ndl, n_c) dense element Jacobians of one cell chunk via ndl
+    one-hot jvps of the batched cell-last residual (see element_matrices
+    docstring for why jvps beat a vmapped jacfwd on TPU)."""
+    ndl = nvc * (dim + 1)
+    n_c = cac.gather_p.shape[-1]
+    u_e = u[cac.gather_u].reshape(nvc, dim, n_c)
+    phi_e = phi[cac.gather_p]
+    pf_old_e = phi_old[cac.gather_p]
+    pf_oold_e = phi_oold[cac.gather_p]
+
+    def f(ue, pe):
+        ru_e, rp_e = _element_residual_cl(
+            ue, pe, pf_old_e, pf_oold_e, cac, sc, dim=dim,
+            with_split=with_split, monolithic=monolithic)
+        return jnp.concatenate(
+            [ru_e.reshape(nvc * dim, n_c), rp_e], axis=0)
+
+    cols = []
+    for j in range(ndl):
+        if j < nvc * dim:
+            a, d = divmod(j, dim)
+            tu = jnp.zeros((nvc, dim), u.dtype).at[a, d].set(1.0)
+            du_t = jnp.broadcast_to(tu[:, :, None], (nvc, dim, n_c))
+            dp_t = jnp.zeros((nvc, n_c), u.dtype)
+        else:
+            a = j - nvc * dim
+            du_t = jnp.zeros((nvc, dim, n_c), u.dtype)
+            dp_t = jnp.broadcast_to(
+                jnp.zeros(nvc, u.dtype).at[a].set(1.0)[:, None],
+                (nvc, n_c))
+        _, dcol = jax.jvp(f, (u_e, phi_e), (du_t, dp_t))
+        cols.append(-dcol)                        # J = -d(rhs)
+    return jnp.stack(cols, axis=1)
+
+
 @partial(jax.jit, static_argnames=("dim", "with_split", "monolithic",
                                    "cell_last"))
 def element_matrices(u, phi, phi_old, phi_oold, ca: CellArrays, sc: Scalars,
@@ -332,41 +461,25 @@ def element_matrices(u, phi, phi_old, phi_oold, ca: CellArrays, sc: Scalars,
 
     if cell_last:
         n_c_all = ca.gather_p.shape[1]
+        if ca.chunked is not None:
+            def body(_, c):
+                return None, _element_matrices_chunk(
+                    u, phi, phi_old, phi_oold, _chunk_cells(ca, c), sc,
+                    nvc=nvc, dim=dim, with_split=with_split,
+                    monolithic=monolithic)
+
+            _, jacs = jax.lax.scan(body, None, ca.chunked)
+            # (n_chunks, ndl, ndl, ch) -> (ndl, ndl, n_c)
+            jac = jnp.moveaxis(jacs, 0, 2).reshape(ndl, ndl, -1)
+            return jac[:, :, :n_c_all]
         chunks = []
         for s in range(0, n_c_all, CELL_CHUNK):
             end = min(s + CELL_CHUNK, n_c_all)
             cac = (_slice_cells(ca, s, end)
                    if n_c_all > CELL_CHUNK else ca)
-            n_c = end - s
-            u_e = u[cac.gather_u].reshape(nvc, dim, n_c)
-            phi_e = phi[cac.gather_p]
-            pf_old_e = phi_old[cac.gather_p]
-            pf_oold_e = phi_oold[cac.gather_p]
-
-            def f(ue, pe):
-                ru_e, rp_e = _element_residual_cl(
-                    ue, pe, pf_old_e, pf_oold_e, cac, sc, dim=dim,
-                    with_split=with_split, monolithic=monolithic)
-                return jnp.concatenate(
-                    [ru_e.reshape(nvc * dim, n_c), rp_e], axis=0)
-
-            cols = []
-            for j in range(ndl):
-                if j < nvc * dim:
-                    a, d = divmod(j, dim)
-                    tu = jnp.zeros((nvc, dim), u.dtype).at[a, d].set(1.0)
-                    du_t = jnp.broadcast_to(tu[:, :, None],
-                                            (nvc, dim, n_c))
-                    dp_t = jnp.zeros((nvc, n_c), u.dtype)
-                else:
-                    a = j - nvc * dim
-                    du_t = jnp.zeros((nvc, dim, n_c), u.dtype)
-                    dp_t = jnp.broadcast_to(
-                        jnp.zeros(nvc, u.dtype).at[a].set(1.0)[:, None],
-                        (nvc, n_c))
-                _, dcol = jax.jvp(f, (u_e, phi_e), (du_t, dp_t))
-                cols.append(-dcol)                # J = -d(rhs)
-            chunks.append(jnp.stack(cols, axis=1))
+            chunks.append(_element_matrices_chunk(
+                u, phi, phi_old, phi_oold, cac, sc, nvc=nvc, dim=dim,
+                with_split=with_split, monolithic=monolithic))
         if len(chunks) == 1:
             return chunks[0]                      # (ndl, ndl, n_c)
         return jnp.concatenate(chunks, axis=2)
@@ -466,8 +579,14 @@ def jacobi_diagonal_approx(u, phi, phi_old, phi_oold, ca: CellArrays,
     return du, dp
 
 
-def build_cell_arrays(mesh, lam, mu, dtype=jnp.float64) -> CellArrays:
-    """Precompute the per-cell geometry tables for a MeshData (host)."""
+def build_cell_arrays(mesh, lam, mu, dtype=jnp.float64,
+                      chunk: bool = True) -> CellArrays:
+    """Precompute the per-cell geometry tables for a MeshData (host).
+
+    With chunk=True (default) and > CELL_CHUNK cells, a chunk-major
+    duplicate (CellArrays.chunked) is attached for scan-based element
+    sweeps; pass chunk=False for cell arrays that will be sharded across
+    devices (the SPMD path splits the cell axis itself)."""
     from ..fem import cell_geometry
 
     t = element_tables(mesh.dim)
@@ -481,13 +600,21 @@ def build_cell_arrays(mesh, lam, mu, dtype=jnp.float64) -> CellArrays:
     gather_p = c2v.T
     lam_arr = np.broadcast_to(np.asarray(lam, dtype=np.float64), (n_c,))
     mu_arr = np.broadcast_to(np.asarray(mu, dtype=np.float64), (n_c,))
+    JxW_T = JxW.T
+    grads_T = np.transpose(grads, (1, 2, 3, 0))
+    inv_diam2 = 1.0 / mesh.diameters**2
+    chunked = None
+    if chunk:
+        chunked = make_chunked(gather_u, gather_p, JxW_T, grads_T,
+                               lam_arr, mu_arr, inv_diam2, dtype)
     return CellArrays(
         gather_u=jnp.asarray(gather_u, dtype=jnp.int32),
         gather_p=jnp.asarray(gather_p, dtype=jnp.int32),
-        JxW=jnp.asarray(JxW.T, dtype=dtype),
-        grads=jnp.asarray(np.transpose(grads, (1, 2, 3, 0)), dtype=dtype),
+        JxW=jnp.asarray(JxW_T, dtype=dtype),
+        grads=jnp.asarray(grads_T, dtype=dtype),
         shape_v=jnp.asarray(t.shape_v, dtype=dtype),
         lam=jnp.asarray(lam_arr, dtype=dtype),
         mu=jnp.asarray(mu_arr, dtype=dtype),
-        inv_diam2=jnp.asarray(1.0 / mesh.diameters**2, dtype=dtype),
+        inv_diam2=jnp.asarray(inv_diam2, dtype=dtype),
+        chunked=chunked,
     )

@@ -81,12 +81,17 @@ def pad_cell_arrays(ca: physics.CellArrays, n_devices: int) -> physics.CellArray
 
 
 def shard_cell_arrays(ca: physics.CellArrays, mesh: Mesh) -> physics.CellArrays:
-    """Place each cell-axis leaf on the device mesh."""
+    """Place each cell-axis leaf on the device mesh.
+
+    The chunk-major scan duplicate (ca.chunked) is dropped: the SPMD
+    path splits the cell axis across devices itself, so each shard is
+    already bounded-size."""
     n_dev = mesh.devices.size
-    ca = pad_cell_arrays(ca, n_dev)
+    ca = pad_cell_arrays(ca._replace(chunked=None), n_dev)
     return physics.CellArrays(*(
         jax.device_put(arr, NamedSharding(mesh, spec))
-        for arr, spec in zip(ca, _CA_SPEC)))
+        for arr, spec in zip(
+            ca[:len(_CA_SPEC) - 1], _CA_SPEC[:len(_CA_SPEC) - 1])))
 
 
 def sharded_residual_fn(mesh: Mesh, *, dim: int, with_split: bool,

@@ -216,14 +216,22 @@ def solve_cg_block(jac_cl, ca, con, active, rhs_u, rhs_p, diag_u, diag_p,
                  jnp.asarray(0), jnp.zeros_like(b),
                  jnp.asarray(bnorm2, b.dtype))
         rr = bnorm2
+        stalls = 0
         while rr > tol2 and int(state[5]) < maxiter:
             prev_rr = rr
             state, rr_dev = _cg_chunk(jac_cl, ca, con, active, Minv,
                                       state, tol2, dim=dim, which=which,
                                       chunk=chunk)
             rr = float(rr_dev)
-            if not np.isfinite(rr) or rr > 0.5 * prev_rr:
-                break  # stagnated or blew up: keep the best iterate
+            if not np.isfinite(rr):
+                break  # blew up: keep the best iterate
+            # Jacobi-CG on the ill-conditioned fracture operator can
+            # plateau for a while mid-convergence, so a single
+            # non-halving chunk is not proof of stagnation; require two
+            # consecutive ones before giving up (best iterate is kept).
+            stalls = stalls + 1 if rr > 0.5 * prev_rr else 0
+            if stalls >= 2:
+                break
         return state[6], int(state[5])
 
     du, it_u = run_block("u", rhs_u, Minv_u)

@@ -697,6 +697,7 @@ def solve_cg_block(hier: GalerkinHierarchy, jac_fine, ca_fine, con,
                      jnp.zeros_like(b), jnp.asarray(rr_cur, vdt))
             rr = rr_cur
             stalled = False
+            stalls = 0
             while rr > tol2 and int(state[5]) < maxiter - its:
                 prev_rr = rr
                 state, rr_dev = _cg_chunk(level_ops, jac64, gather64,
@@ -704,7 +705,14 @@ def solve_cg_block(hier: GalerkinHierarchy, jac_fine, ca_fine, con,
                                           which=which, chunk=chunk,
                                           degree=degree, f64_op=f64_op)
                 rr = float(rr_dev)
-                if not np.isfinite(rr) or rr > 0.5 * prev_rr:
+                if not np.isfinite(rr):
+                    stalled = True  # blew up: keep best iterate, stop
+                    break
+                # a single non-halving chunk can be a mid-convergence
+                # plateau of the ill-conditioned fracture operator;
+                # require two consecutive ones before calling it a stall
+                stalls = stalls + 1 if rr > 0.5 * prev_rr else 0
+                if stalls >= 2:
                     stalled = True  # keep the best iterate, stop pass
                     break
             its += int(state[5])

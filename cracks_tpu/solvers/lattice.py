@@ -10,31 +10,34 @@ built from it cost ~84 ms per application — the entire load-step
 budget.
 
 On a uniformly refined tensor-product mesh (the production Sneddon /
-bench configurations: ``rect_mesh`` roots, ``n_global_pre_refine``
-refinements, no hanging nodes) the mesh IS a global (GY x GX) lattice,
-and every FEM gather/scatter is a SHIFTED ARRAY SLICE:
+bench configurations: ``rect_mesh`` / ``unit cube`` roots,
+``n_global_pre_refine`` refinements, no hanging nodes) the mesh IS a
+global lattice — (GY, GX) in 2d, (GZ, GY, GX) in 3d — and every FEM
+gather/scatter is a SHIFTED ARRAY SLICE:
 
-  * cell->vertex gather   = 4 shifted (GCY, GCX) windows of the vertex
-    lattice;
-  * vertex scatter-add    = 4 shifted window adds;
-  * 2:1 restriction/prolongation = strided slices ([::2]);
-  * Galerkin element-RAP coarsening = [di::2, dj::2] slices + einsum
-    with the constant embedding matrices;
-  * the active-set injection to level l = [::2**l, ::2**l].
+  * cell->vertex gather   = 2^dim shifted cell-grid windows of the
+    vertex lattice;
+  * vertex scatter-add    = 2^dim shifted window adds;
+  * 2:1 restriction/prolongation = strided slices ([::2]), applied
+    separably per axis (the tensor-product Q1 transfer factorizes);
+  * Galerkin element-RAP coarsening = [o::2, ...] slices + einsum with
+    the constant embedding matrices;
+  * the active-set injection to level l = [::2**l, ...].
 
 No dynamic gather appears anywhere in the Krylov loop; everything
 streams.  This is the TPU-native analogue of the reference's
-assembled-matrix solve path (cracks.cc:2744-2777), specialized to the
-structured meshes where production cycles are spent.
+assembled-matrix solve path (cracks.cc:2744-2777) — with runtime-dim
+dispatch like the reference's (cracks.cc:4648-4658) — specialized to
+the structured meshes where production cycles are spent.
 
-Lattice state layout: vectors are (comp, GY, GX) with comp tiny and
-LEADING (the last two dims carry the (8, 128) tiling; GY/GX in the
-hundreds pad by <= 20%).  Element data is (..., GCY, GCX).
+Lattice state layout: vectors are (comp, *grid) with comp tiny and
+LEADING (the last two dims carry the (8, 128) tiling; grid extents in
+the tens-to-hundreds pad by <= 20%).  Element data is (..., *cellgrid).
 """
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import NamedTuple
 
 import jax
@@ -44,28 +47,43 @@ import numpy as np
 from ..ops import physics
 from .galerkin import embedding_matrices
 
-# lexicographic Q1 vertex order (bit 0 -> x, bit 1 -> y), matching
-# fem.py: local a = (ax, ay) with offsets below in (y, x) slicing order
-_OFFS = [(0, 0), (0, 1), (1, 0), (1, 1)]  # a -> (oy, ox)
+
+@lru_cache(maxsize=None)
+def _offsets(dim: int) -> tuple:
+    """Corner a -> per-grid-axis offsets, grid axes ordered slowest to
+    fastest (z, y, x).  Matches fem.py's lexicographic Q1 vertex order:
+    local vertex a has reference coordinate along geometric axis d equal
+    to (a >> d) & 1 (fem.py:99-102), and grid axis j is geometric axis
+    dim-1-j."""
+    return tuple(
+        tuple(((a >> (dim - 1 - j)) & 1) for j in range(dim))
+        for a in range(2 ** dim))
+
+
+def _win(o, G):
+    """Index tuple selecting the shifted cell-grid window at corner
+    offset o of a (*, *G) vertex-lattice array."""
+    return (slice(None),) + tuple(
+        slice(o[j], G[j] - 1 + o[j]) for j in range(len(G)))
 
 
 class LatticeLayout(NamedTuple):
     """Host-built tensor-grid identification of a MeshData."""
 
-    GY: int                 # vertex rows
-    GX: int                 # vertex cols
-    vert_idx: np.ndarray    # (GY, GX) int32 global vertex id per node
+    grid: tuple             # vertex extents, slowest..fastest (y,x)/(z,y,x)
+    vert_idx: np.ndarray    # (*grid) int32 global vertex id per node
     vert_pos: np.ndarray    # (n_v,) int32 flat lattice pos per vertex
-    cell_perm: np.ndarray   # (n_cells,) raster (cy, cx) -> mesh cell id
+    cell_perm: np.ndarray   # (n_cells,) raster -> mesh cell id
 
 
 def detect_tensor_grid(mesh) -> LatticeLayout | None:
-    """Identify a mesh whose vertices form an exact 2d tensor grid.
-
-    Returns None for 3d meshes, meshes with hanging nodes, or any
-    vertex set that is not a full (GY x GX) product grid."""
-    if mesh.dim != 2 or len(mesh.hang_child):
+    """Identify a mesh whose vertices form an exact tensor grid (2d or
+    3d).  Returns None for meshes with hanging nodes or any vertex set
+    that is not a full product grid (e.g. slit meshes with duplicated
+    vertices along the crack)."""
+    if mesh.dim not in (2, 3) or len(mesh.hang_child):
         return None
+    dim = mesh.dim
 
     def axis_index(vals):
         """Cluster coordinates that differ only by multilinear-map float
@@ -84,39 +102,46 @@ def detect_tensor_grid(mesh) -> LatticeLayout | None:
         idx = cid[np.searchsorted(s, vals)]
         return idx, cid[-1] + 1
 
-    rx = axis_index(mesh.vert_coords[:, 0])
-    ry = axis_index(mesh.vert_coords[:, 1])
-    if rx is None or ry is None:
+    # geometric axes x,y(,z); grid axes are reversed (z,y,x)
+    res = [axis_index(mesh.vert_coords[:, d]) for d in range(dim)]
+    if any(r is None for r in res):
         return None
-    ix, GX = rx
-    iy, GY = ry
-    if GX * GY != mesh.n_vertices or GX < 5 or GY < 5:
+    gidx = [r[0] for r in res][::-1]          # per grid axis
+    grid = tuple(int(r[1]) for r in res)[::-1]
+    if int(np.prod(grid)) != mesh.n_vertices or min(grid) < 4:
         return None
-    pos = iy * GX + ix
+    pos = np.zeros(mesh.n_vertices, np.int64)
+    for j in range(dim):
+        pos = pos * grid[j] + gidx[j]
     if len(np.unique(pos)) != mesh.n_vertices:
         return None
-    vert_idx = np.full(GY * GX, -1, np.int64)
+    vert_idx = np.full(int(np.prod(grid)), -1, np.int64)
     vert_idx[pos] = np.arange(mesh.n_vertices)
     if (vert_idx < 0).any():
         return None
-    vert_idx = vert_idx.reshape(GY, GX)
+    vert_idx = vert_idx.reshape(grid)
 
-    # cells: locate each cell by its lower-left vertex; require the full
-    # (GY-1)x(GX-1) raster and the lexicographic corner convention
-    if mesh.n_cells != (GY - 1) * (GX - 1):
+    # cells: locate each cell by its first (lexicographically lowest)
+    # vertex; require the full cell raster and the fem.py corner order
+    cgrid = tuple(g - 1 for g in grid)
+    if mesh.n_cells != int(np.prod(cgrid)):
         return None
     ll = mesh.cell2vert[:, 0]
-    cy, cx = pos[ll] // GX, pos[ll] % GX
+    cpos = np.array(np.unravel_index(pos[ll], grid))   # (dim, n_c)
+    offs = _offsets(dim)
     expect = np.stack([
-        vert_idx[cy, cx], vert_idx[cy, cx + 1],
-        vert_idx[cy + 1, cx], vert_idx[cy + 1, cx + 1]], axis=1)
+        vert_idx[tuple(cpos[j] + o[j] for j in range(dim))]
+        for o in offs], axis=1)
     if not (expect == mesh.cell2vert).all():
         return None
-    raster = np.full((GY - 1) * (GX - 1), -1, np.int64)
-    raster[cy * (GX - 1) + cx] = np.arange(mesh.n_cells)
+    craster = np.zeros(mesh.n_cells, np.int64)
+    for j in range(dim):
+        craster = craster * cgrid[j] + cpos[j]
+    raster = np.full(int(np.prod(cgrid)), -1, np.int64)
+    raster[craster] = np.arange(mesh.n_cells)
     if (raster < 0).any():
         return None
-    return LatticeLayout(GY=GY, GX=GX,
+    return LatticeLayout(grid=grid,
                          vert_idx=vert_idx.astype(np.int32),
                          vert_pos=pos.astype(np.int32),
                          cell_perm=raster.astype(np.int32))
@@ -126,14 +151,21 @@ def permuted_cell_arrays(mesh, lam, mu, lay: LatticeLayout,
                          dtype=jnp.float32) -> physics.CellArrays:
     """CellArrays with cells in lattice raster order, so the element
     matrices come out of physics.element_matrices already reshapable to
-    (ndl, ndl, GCY, GCX)."""
-    ca = physics.build_cell_arrays(mesh, lam, mu, dtype=dtype)
+    (ndl, ndl, *cellgrid)."""
+    ca = physics.build_cell_arrays(mesh, lam, mu, dtype=dtype,
+                                   chunk=False)
     p = lay.cell_perm
-    take = lambda a: jnp.asarray(np.asarray(a)[..., p])
+    take = lambda a: np.asarray(a)[..., p]
+    g_u, g_p = take(ca.gather_u), take(ca.gather_p)
+    JxW, grads = take(ca.JxW), take(ca.grads)
+    lam_, mu_, invd2 = take(ca.lam), take(ca.mu), take(ca.inv_diam2)
+    chunked = physics.make_chunked(g_u, g_p, JxW, grads, lam_, mu_,
+                                   invd2, dtype)
+    j = lambda a, dt=dtype: jnp.asarray(a, dtype=dt)
     return physics.CellArrays(
-        gather_u=take(ca.gather_u), gather_p=take(ca.gather_p),
-        JxW=take(ca.JxW), grads=take(ca.grads), shape_v=ca.shape_v,
-        lam=take(ca.lam), mu=take(ca.mu), inv_diam2=take(ca.inv_diam2))
+        gather_u=j(g_u, jnp.int32), gather_p=j(g_p, jnp.int32),
+        JxW=j(JxW), grads=j(grads), shape_v=ca.shape_v,
+        lam=j(lam_), mu=j(mu_), inv_diam2=j(invd2), chunked=chunked)
 
 
 # ---------------------------------------------------------------------------
@@ -141,95 +173,115 @@ def permuted_cell_arrays(mesh, lam, mu, lay: LatticeLayout,
 # ---------------------------------------------------------------------------
 
 def gather_windows(X):
-    """(k, GY, GX) vertex lattice -> per-corner cell windows
-    (nvc, k, GCY, GCX)."""
-    wins = [X[:, oy: X.shape[1] - 1 + oy, ox: X.shape[2] - 1 + ox]
-            for (oy, ox) in _OFFS]
-    return jnp.stack(wins, axis=0)
+    """(k, *G) vertex lattice -> per-corner cell windows
+    (nvc, k, *cellgrid)."""
+    G = X.shape[1:]
+    offs = _offsets(len(G))
+    return jnp.stack([X[_win(o, G)] for o in offs], axis=0)
 
 
-def scatter_windows(Ye, GY, GX):
-    """(nvc, k, GCY, GCX) per-corner cell values -> vertex lattice
-    (k, GY, GX) by shifted window adds."""
+def scatter_windows(Ye, grid):
+    """(nvc, k, *cellgrid) per-corner cell values -> vertex lattice
+    (k, *grid) by shifted window adds."""
     k = Ye.shape[1]
-    Y = jnp.zeros((k, GY, GX), Ye.dtype)
-    for a, (oy, ox) in enumerate(_OFFS):
-        Y = Y.at[:, oy: GY - 1 + oy, ox: GX - 1 + ox].add(Ye[a])
+    offs = _offsets(len(grid))
+    Y = jnp.zeros((k,) + tuple(grid), Ye.dtype)
+    for a, o in enumerate(offs):
+        Y = Y.at[_win(o, grid)].add(Ye[a])
     return Y
 
 
 def matvec(jacL, X, lo, hi, k):
     """Masked-free lattice matvec for one block.
 
-    jacL: (ndl, ndl, GCY, GCX); X: (k, GY, GX) -> (k, GY, GX).
+    jacL: (ndl, ndl, *cellgrid); X: (k, *grid) -> (k, *grid).
     Local dof order inside [lo, hi): corner-major, k comps per corner."""
-    GY, GX = X.shape[1], X.shape[2]
-    Xe = gather_windows(X)                            # (nvc, k, cy, cx)
+    G = X.shape[1:]
+    Xe = gather_windows(X)                        # (nvc, k, *cg)
     nvc = Xe.shape[0]
-    Xf = Xe.reshape(nvc * k, GY - 1, GX - 1)
+    Xf = Xe.reshape((nvc * k,) + Xe.shape[2:])
     J = jacL[lo:hi, lo:hi]
-    Yf = jnp.einsum("ijyx,jyx->iyx", J, Xf)
-    return scatter_windows(Yf.reshape(nvc, k, GY - 1, GX - 1), GY, GX)
+    Yf = jnp.einsum("ij...,j...->i...", J, Xf)
+    return scatter_windows(Yf.reshape((nvc, k) + Yf.shape[1:]), G)
 
 
-def block_diag(jacL, lo, hi, k, GY, GX):
-    """Lattice diagonal of one block: (k, GY, GX)."""
+def block_diag(jacL, lo, hi, k, grid):
+    """Lattice diagonal of one block: (k, *grid)."""
     idx = jnp.arange(lo, hi)
-    d = jacL[idx, idx]                                # (b, cy, cx)
+    d = jacL[idx, idx]                            # (b, *cg)
     nvc = (hi - lo) // k
-    return scatter_windows(d.reshape(nvc, k, GY - 1, GX - 1), GY, GX)
+    return scatter_windows(d.reshape((nvc, k) + d.shape[1:]), grid)
 
 
-def gershgorin(jacL, free, Dinv, lo, hi, k, GY, GX):
+def gershgorin(jacL, free, Dinv, lo, hi, k, grid):
     """Upper bound on lambda_max(D^-1 A) via element-wise over-counted
     Gershgorin row sums (same bound as galerkin._gershgorin_lambda_max)."""
-    rs = jnp.sum(jnp.abs(jacL[lo:hi, lo:hi]), axis=1)  # (b, cy, cx)
+    rs = jnp.sum(jnp.abs(jacL[lo:hi, lo:hi]), axis=1)  # (b, *cg)
     nvc = (hi - lo) // k
-    s = scatter_windows(rs.reshape(nvc, k, GY - 1, GX - 1), GY, GX)
+    s = scatter_windows(rs.reshape((nvc, k) + rs.shape[1:]), grid)
     return jnp.max(jnp.where(free, s * jnp.abs(Dinv), 0.0))
 
 
 def coarsen(jacL, P_embed):
     """Galerkin element-RAP one level down on the lattice:
-    (ndl, ndl, GCY, GCX) -> (ndl, ndl, GCY//2, GCX//2)."""
+    (ndl, ndl, *cg) -> (ndl, ndl, *(cg//2))."""
+    dim = jacL.ndim - 2
     out = 0.0
-    for pos, (oy, ox) in enumerate(_OFFS):
-        A = jacL[:, :, oy::2, ox::2]
+    for pos, o in enumerate(_offsets(dim)):
+        # embedding_matrices orders child positions by geometric bits
+        # (pos>>d)&1; _offsets(dim)[a] IS position a in that order
+        sl = (slice(None), slice(None)) + tuple(
+            slice(oj, None, 2) for oj in o)
+        A = jacL[sl]
         P = P_embed[pos].astype(jacL.dtype)
-        out = out + jnp.einsum("ai,abyx,bj->ijyx", P, A, P)
+        out = out + jnp.einsum("ai,ab...,bj->ij...", P, A, P)
     return out
 
 
-def prolong(Xc, GY, GX, k):
-    """Q1 2:1 lattice prolongation (kGYc GXc) -> (k, GY, GX)."""
-    Xf = jnp.zeros((k, GY, GX), Xc.dtype)
-    Xf = Xf.at[:, ::2, ::2].set(Xc)
-    # x-midpoints on even rows
-    Xf = Xf.at[:, ::2, 1::2].set(0.5 * (Xc[:, :, :-1] + Xc[:, :, 1:]))
-    # y-midpoints on even cols
-    Xf = Xf.at[:, 1::2, ::2].set(0.5 * (Xc[:, :-1, :] + Xc[:, 1:, :]))
-    # centers
-    Xf = Xf.at[:, 1::2, 1::2].set(
-        0.25 * (Xc[:, :-1, :-1] + Xc[:, :-1, 1:]
-                + Xc[:, 1:, :-1] + Xc[:, 1:, 1:]))
-    return Xf
+def _prolong_axis(X, axis):
+    """1d Q1 prolongation along one axis: n -> 2n-1 with midpoint
+    averages."""
+    n = X.shape[axis]
+    shp = list(X.shape)
+    shp[axis] = 2 * n - 1
+    out = jnp.zeros(shp, X.dtype)
+    sl = lambda s: tuple(s if j == axis else slice(None)
+                         for j in range(X.ndim))
+    out = out.at[sl(slice(0, None, 2))].set(X)
+    lo = X[sl(slice(0, n - 1))]
+    hi = X[sl(slice(1, n))]
+    return out.at[sl(slice(1, None, 2))].set(0.5 * (lo + hi))
+
+
+def _restrict_axis(X, axis):
+    """Transpose of _prolong_axis: 2n-1 -> n."""
+    sl = lambda s: tuple(s if j == axis else slice(None)
+                         for j in range(X.ndim))
+    Xc = X[sl(slice(0, None, 2))] + 0.0
+    mid = 0.5 * X[sl(slice(1, None, 2))]
+    n = Xc.shape[axis]
+    Xc = Xc.at[sl(slice(0, n - 1))].add(mid)
+    Xc = Xc.at[sl(slice(1, n))].add(mid)
+    return Xc
+
+
+def prolong(Xc, grid, k):
+    """Q1 2:1 lattice prolongation (k, *coarsegrid) -> (k, *grid).
+
+    Separable per axis — the tensor-product Q1 embedding factorizes into
+    1d interpolations, which keeps every step a strided-slice stream."""
+    X = Xc
+    for j in range(len(grid)):
+        X = _prolong_axis(X, j + 1)
+    return X
 
 
 def restrict(Xf, k):
-    """Transpose of prolong: (k, GY, GX) -> (k, GYc, GXc)."""
-    Xc = Xf[:, ::2, ::2] + 0.0
-    ex = 0.5 * Xf[:, ::2, 1::2]
-    Xc = Xc.at[:, :, :-1].add(ex)
-    Xc = Xc.at[:, :, 1:].add(ex)
-    ey = 0.5 * Xf[:, 1::2, ::2]
-    Xc = Xc.at[:, :-1, :].add(ey)
-    Xc = Xc.at[:, 1:, :].add(ey)
-    ec = 0.25 * Xf[:, 1::2, 1::2]
-    Xc = Xc.at[:, :-1, :-1].add(ec)
-    Xc = Xc.at[:, :-1, 1:].add(ec)
-    Xc = Xc.at[:, 1:, :-1].add(ec)
-    Xc = Xc.at[:, 1:, 1:].add(ec)
-    return Xc
+    """Transpose of prolong: (k, *grid) -> (k, *coarsegrid)."""
+    X = Xf
+    for j in reversed(range(X.ndim - 1)):
+        X = _restrict_axis(X, j + 1)
+    return X
 
 
 # ---------------------------------------------------------------------------
@@ -239,12 +291,11 @@ def restrict(Xf, k):
 class LatticeHierarchy(NamedTuple):
     """Static per-epoch data for the lattice GMG solve."""
 
-    GY: int
-    GX: int
+    grid: tuple             # finest vertex extents (y,x) / (z,y,x)
     n_levels: int           # total levels incl. finest
-    vert_idx: jax.Array     # (GY, GX) int32
+    vert_idx: jax.Array     # (*grid) int32
     vert_pos: jax.Array     # (n_v,) int32
-    # per-level Dirichlet masks, coarsest..finest, as (1|dim, gy, gx)
+    # per-level Dirichlet masks, coarsest..finest, as (1|dim, *g)
     dir_u: tuple
     dir_p: tuple
     P_embed: jax.Array      # (nvc+1, ndl, ndl)
@@ -252,41 +303,42 @@ class LatticeHierarchy(NamedTuple):
 
 def build_lattice_hierarchy(mesh, lay: LatticeLayout, dirichlet_fn,
                             min_coarse: int = 100):
-    """Host construction.  Levels halve (GY-1, GX-1) while both stay
-    even and the coarse vertex count stays above `min_coarse`."""
-    GY, GX = lay.GY, lay.GX
-    dims = [(GY, GX)]
-    while (dims[-1][0] - 1) % 2 == 0 and (dims[-1][1] - 1) % 2 == 0 \
-            and ((dims[-1][0] - 1) // 2 + 1) * ((dims[-1][1] - 1) // 2
-                                                + 1) >= min_coarse:
-        dims.append(((dims[-1][0] - 1) // 2 + 1,
-                     (dims[-1][1] - 1) // 2 + 1))
+    """Host construction.  Levels halve the cell extents while they all
+    stay even and the coarse vertex count stays above `min_coarse`."""
+    dim = mesh.dim
+    grid = lay.grid
+    dims = [grid]
+    while all((g - 1) % 2 == 0 for g in dims[-1]) and \
+            int(np.prod([(g - 1) // 2 + 1 for g in dims[-1]])) >= min_coarse:
+        dims.append(tuple((g - 1) // 2 + 1 for g in dims[-1]))
     if len(dims) < 2:
         return None
     dims = dims[::-1]       # coarsest..finest
 
     mask_u, mask_p = dirichlet_fn(mesh)
-    mask_u = np.asarray(mask_u).reshape(mesh.n_vertices, 2)
+    mask_u = np.asarray(mask_u).reshape(mesh.n_vertices, dim)
     mask_p = np.asarray(mask_p)
     # geometric Dirichlet masks per level: a coarse-lattice node is the
     # fine node at stride 2^l, so masks inject exactly
-    MU = np.zeros((lay.GY, lay.GX, 2), bool)
-    MP = np.zeros((lay.GY, lay.GX), bool)
-    MU[lay.vert_pos // lay.GX, lay.vert_pos % lay.GX] = mask_u
-    MP[lay.vert_pos // lay.GX, lay.vert_pos % lay.GX] = mask_p
+    MU = np.zeros(grid + (dim,), bool)
+    MP = np.zeros(grid, bool)
+    pos_nd = np.unravel_index(lay.vert_pos, grid)
+    MU[pos_nd] = mask_u
+    MP[pos_nd] = mask_p
     dir_u, dir_p = [], []
-    for (gy, gx) in dims:
-        s = (lay.GY - 1) // (gy - 1)
-        du = np.moveaxis(MU[::s, ::s], -1, 0)          # (2, gy, gx)
-        dp = MP[::s, ::s][None]                        # (1, gy, gx)
+    for g in dims:
+        stride = tuple((grid[j] - 1) // (g[j] - 1) for j in range(dim))
+        sl = tuple(slice(None, None, s) for s in stride)
+        du = np.moveaxis(MU[sl], -1, 0)            # (dim, *g)
+        dp = MP[sl][None]                          # (1, *g)
         dir_u.append(jnp.asarray(du))
         dir_p.append(jnp.asarray(dp))
     return LatticeHierarchy(
-        GY=GY, GX=GX, n_levels=len(dims),
+        grid=grid, n_levels=len(dims),
         vert_idx=jnp.asarray(lay.vert_idx),
         vert_pos=jnp.asarray(lay.vert_pos),
         dir_u=tuple(dir_u), dir_p=tuple(dir_p),
-        P_embed=jnp.asarray(embedding_matrices(2), jnp.float32))
+        P_embed=jnp.asarray(embedding_matrices(dim), jnp.float32))
 
 
 # ---------------------------------------------------------------------------
@@ -319,23 +371,26 @@ class _LOps(NamedTuple):
     lam: jax.Array
 
 
-def _build_block_levels(jacs, dir_u, dir_p, GY, active_L, lo, hi,
+def _build_block_levels(jacs, dir_u, dir_p, grid, active_L, lo, hi,
                         k, which):
     """Per-level (_LOps coarsest..finest) for one block."""
     out = []
     for l in range(len(jacs)):
         jac = jacs[l]
-        gy, gx = jac.shape[2] + 1, jac.shape[3] + 1
+        g = tuple(c + 1 for c in jac.shape[2:])
         dmask = dir_u[l] if which == "u" else dir_p[l]
         if which == "p":
-            s = (GY - 1) // (gy - 1)
-            act = active_L[:, ::s, ::s]
+            stride = tuple((grid[j] - 1) // (g[j] - 1)
+                           for j in range(len(g)))
+            sl = (slice(None),) + tuple(slice(None, None, s)
+                                        for s in stride)
+            act = active_L[sl]
             free = ~(dmask | act)
         else:
-            free = ~dmask & jnp.ones((k, gy, gx), bool)
-        d = block_diag(jac, lo, hi, k, gy, gx)
+            free = ~dmask & jnp.ones((k,) + g, bool)
+        d = block_diag(jac, lo, hi, k, g)
         Dinv = jnp.where(free & (jnp.abs(d) > 0), 1.0 / d, 1.0)
-        lam = gershgorin(jac, free, Dinv, lo, hi, k, gy, gx)
+        lam = gershgorin(jac, free, Dinv, lo, hi, k, g)
         out.append(_LOps(jac=jac, free=free, Dinv=Dinv, lam=lam))
     return out
 
@@ -350,19 +405,21 @@ def _masked_mv(lv: _LOps, lo, hi, k):
 
 def _coarse_dense_factor(lv0: _LOps, lo, hi, k):
     """Dense Cholesky of the coarsest-level block (Jacobi-scaled, f64)."""
-    gy, gx = lv0.free.shape[1], lv0.free.shape[2]
-    n0 = k * gy * gx
+    g0 = lv0.free.shape[1:]
+    nvert0 = int(np.prod(g0))
+    n0 = k * nvert0
     # assemble dense from lattice element matrices via the (tiny)
-    # coarsest grid: vertex flat index = comp-major (k, gy, gx)
-    pos = jnp.arange(gy * gx).reshape(gy, gx)
-    wins = jnp.stack([pos[oy: gy - 1 + oy, ox: gx - 1 + ox]
-                      for (oy, ox) in _OFFS])          # (nvc, cy, cx)
-    nvc = 4
-    # local dof ldof = a*k + d  ->  flat = d*gy*gx + win[a]
+    # coarsest grid: vertex flat index = comp-major (k, *g0)
+    pos = jnp.arange(nvert0).reshape(g0)
+    offs = _offsets(len(g0))
+    wins = jnp.stack([pos[tuple(slice(o[j], g0[j] - 1 + o[j])
+                                for j in range(len(g0)))]
+                      for o in offs])              # (nvc, *cg0)
+    # local dof ldof = a*k + d  ->  flat = d*nvert0 + win[a]
     comp = jnp.arange(k)
-    lflat = (comp[None, :, None, None] * gy * gx
-             + wins[:, None, :, :])                    # (nvc, k, cy, cx)
-    lflat = lflat.reshape((hi - lo), -1)               # (b, n_cells0)
+    lflat = (comp[None, :, None] * nvert0
+             + wins.reshape(len(offs), 1, -1))     # (nvc, k, n_cells0)
+    lflat = lflat.reshape((hi - lo), -1)           # (b, n_cells0)
     A = lv0.jac[lo:hi, lo:hi].reshape(hi - lo, hi - lo, -1)
     rows = jnp.broadcast_to(lflat[:, None, :],
                             (hi - lo, hi - lo, lflat.shape[1]))
@@ -387,13 +444,20 @@ def make_vcycle(levels, lo, hi, k, degree=2, coarse_factor=None,
     else:
         cho_c, cho_scale = coarse_factor
         cho = (cho_c, False)
+    # the coarse solve runs in the factor's dtype: f64 in the fused
+    # solve, f32 in the split-dispatch CG pass (which must stay free of
+    # f64 ops so the Pallas stencil kernel can live in the same jit —
+    # XLA's X64-rewrite pass rejects computations mixing a
+    # tpu_custom_call with f64; an f32 coarse solve of the
+    # Jacobi-scaled system is plenty for a preconditioner)
+    cho_dtype = cho[0].dtype
     shape0 = levels[0].free.shape
 
     def cycle(l, b):
         lv = levels[l]
         b = jnp.where(lv.free, b, 0.0)
         if l == 0:
-            bs = cho_scale * b.reshape(-1).astype(jnp.float64)
+            bs = cho_scale * b.reshape(-1).astype(cho_dtype)
             x = (cho_scale * jax.scipy.linalg.cho_solve(cho, bs)
                  ).astype(b.dtype).reshape(shape0)
             return jnp.where(lv.free, x, 0.0)
@@ -403,8 +467,8 @@ def make_vcycle(levels, lo, hi, k, degree=2, coarse_factor=None,
         r = b - op(x)
         r_c = restrict(r, k)
         e_c = cycle(l - 1, r_c)
-        gy, gx = lv.free.shape[1], lv.free.shape[2]
-        x = x + jnp.where(lv.free, prolong(e_c, gy, gx, k), 0.0)
+        g = lv.free.shape[1:]
+        x = x + jnp.where(lv.free, prolong(e_c, g, k), 0.0)
         r = b - op(x)
         x = x + _chebyshev(op, lv.Dinv, r, lv.lam, degree)
         return x
@@ -420,6 +484,14 @@ def make_vcycle(levels, lo, hi, k, degree=2, coarse_factor=None,
 FUSED_SOLVE_MAX_DOFS = 150_000
 
 
+def _blk(which, dim):
+    """(k, lo, hi) of one block in the corner-major local dof order."""
+    nvc = 2 ** dim
+    if which == "u":
+        return dim, 0, nvc * dim
+    return 1, nvc * dim, nvc * (dim + 1)
+
+
 def solve_lattice(sys, u, phi, phi_old, phi_oold, con, active, rhs_u,
                   rhs_p, with_split):
     """Driver-facing entry: unpacks the System's lattice bundle into the
@@ -433,7 +505,7 @@ def solve_lattice(sys, u, phi, phi_old, phi_oold, con, active, rhs_u,
         u, phi, phi_old, phi_oold, sys.ca, sys.lattice_ca32,
         sys.scalars, hier.vert_pos, hier.dir_u, hier.dir_p,
         hier.P_embed, con, active, rhs_u, rhs_p, p.cg_rtol,
-        GY=hier.GY, GX=hier.GX, n_levels=hier.n_levels, dim=sys.dim,
+        grid=hier.grid, n_levels=hier.n_levels, dim=sys.dim,
         with_split=with_split, monolithic=sys.monolithic)
     return du, dp, int(its)
 
@@ -442,80 +514,114 @@ def solve_lattice(sys, u, phi, phi_old, phi_oold, con, active, rhs_u,
 # split-dispatch variant (large problems)
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("GY", "GX", "n_levels", "dim",
+@partial(jax.jit, static_argnames=("grid", "n_levels", "dim",
                                    "with_split", "monolithic"))
-def _prepare(u, phi, phi_old, phi_oold, caL32, sc, P_embed, *, GY, GX,
+def _prepare(u, phi, phi_old, phi_oold, caL32, sc, P_embed, *, grid,
              n_levels, dim, with_split, monolithic):
     """jac32 on the lattice + the Galerkin coarse chain."""
     f32 = lambda x: x.astype(jnp.float32)
     sc32 = physics.Scalars(*(f32(v) for v in sc))
+    nvc = 2 ** dim
+    ndl = nvc * (dim + 1)
+    cgrid = tuple(g - 1 for g in grid)
     jacL = physics.element_matrices(
         f32(u), f32(phi), f32(phi_old), f32(phi_oold), caL32, sc32,
         dim=dim, with_split=with_split, monolithic=monolithic,
-        cell_last=True).reshape(12, 12, GY - 1, GX - 1)
+        cell_last=True).reshape((ndl, ndl) + cgrid)
     jacs = [jacL]
     for _ in range(n_levels - 1):
         jacs.insert(0, coarsen(jacs[0], P_embed))
     return tuple(jacs)
 
 
-@partial(jax.jit, static_argnames=("dim", "with_split", "monolithic"))
-def _op64_apply(u, phi, phi_old, phi_oold, ca64, sc, con, active, xu,
-                xp, *, dim, with_split, monolithic):
-    """Condensed exact f64 Newton-operator action (J_uu xu,
-    J_pu xu + J_pp xp) via one jvp."""
-    from ..ops.constraints import condense_residual, expand_update
-
-    def res64(uu, pp):
-        return physics.assemble_residual(
-            uu, pp, phi_old, phi_oold, ca64, sc,
-            dim=dim, with_split=with_split, monolithic=monolithic)
-
-    eu, ep = expand_update(xu, xp, con, active)
-    _, (ju, jp) = jax.jvp(res64, (u, phi), (eu, ep))
-    return condense_residual(-ju, -jp, con, active)
-
-
-@partial(jax.jit, static_argnames=("GY", "which", "pallas"))
-def _prepare_levels(jacs, dir_u, dir_p, vert_pos, active, *, GY: int,
-                    which: str, pallas: bool = False):
+@partial(jax.jit, static_argnames=("grid", "which", "dim", "pallas"))
+def _prepare_levels(jacs, dir_u, dir_p, vert_pos, active, *, grid,
+                    which: str, dim: int, pallas: bool = False):
     """Per-block level operator data + the coarse dense factor, built
     ONCE per Newton solve (not per restart pass).  With pallas=True the
     finest-level jac block is additionally laid out in the Pallas
-    kernel's padded format (ops/pallas_stencil.pad_jac)."""
-    k = 2 if which == "u" else 1
-    lo, hi = (0, 8) if which == "u" else (8, 12)
-    GX = jacs[-1].shape[3] + 1
-    active_L = jnp.zeros((GY * GX,), bool).at[vert_pos].set(
-        active)[None].reshape(1, GY, GX)
-    levels = _build_block_levels(list(jacs), dir_u, dir_p, GY, active_L,
-                                 lo, hi, k, which)
+    kernel's padded format (ops/pallas_stencil.pad_jac).
+
+    The coarse Cholesky is factored in f64 here (this jit has no custom
+    calls) and handed to the all-f32 CG pass as an f32 factor."""
+    k, lo, hi = _blk(which, dim)
+    nvert = int(np.prod(grid))
+    active_L = jnp.zeros((nvert,), bool).at[vert_pos].set(
+        active).reshape((1,) + tuple(grid))
+    levels = _build_block_levels(list(jacs), dir_u, dir_p, grid,
+                                 active_L, lo, hi, k, which)
     (cho_c, _lower), scale = _coarse_dense_factor(levels[0], lo, hi, k)
     # drop the python bool from cho_factor's return (it cannot cross the
     # jit boundary); cho_solve is reconstructed with lower=False
+    coarse32 = (cho_c.astype(jnp.float32), scale.astype(jnp.float32))
     fine_pad = None
     if pallas:
         from ..ops import pallas_stencil as ps
         fine_pad = ps.pad_jac(jacs[-1][lo:hi, lo:hi])
-    return tuple(levels), (cho_c, scale), fine_pad
+    return tuple(levels), coarse32, fine_pad
 
 
-@partial(jax.jit, static_argnames=("GY", "GX", "which", "degree",
+def _to_lat(xg, vert_pos, grid, k):
+    """Flat global dof vector -> (k, *grid) lattice layout."""
+    nvert = int(np.prod(grid))
+    if k == 1:
+        return jnp.zeros((nvert,), xg.dtype).at[vert_pos].set(
+            xg).reshape((1,) + tuple(grid))
+    xm = xg.reshape(-1, k)
+    X = jnp.zeros((nvert, k), xg.dtype).at[vert_pos].set(xm)
+    return jnp.moveaxis(X.reshape(tuple(grid) + (k,)), -1, 0)
+
+
+def _to_glob(X, vert_pos, k):
+    """(k, *grid) lattice layout -> flat global dof vector."""
+    if k == 1:
+        return X.reshape(-1)[vert_pos]
+    Xf = jnp.moveaxis(X, 0, -1).reshape(-1, k)
+    return Xf[vert_pos].reshape(-1)
+
+
+@partial(jax.jit, static_argnames=("grid", "which", "dim"))
+def _pass_setup(fin_free, vert_pos, r_g, rtol, target2, *, grid, which,
+                dim):
+    """f64 -> f32 boundary of one CG pass: residual norm, normalized
+    lattice-layout residual and the f32 pass tolerance (one dispatch)."""
+    k, _, _ = _blk(which, dim)
+    rr0 = jnp.vdot(r_g, r_g).real
+    scale = jnp.sqrt(rr0)
+    inv_scale = jnp.where(scale > 0, 1.0 / scale, 0.0)
+    R0 = _to_lat((r_g * inv_scale).astype(jnp.float32), vert_pos, grid,
+                 k)
+    R0 = jnp.where(fin_free, R0, 0.0)
+    # pass target 1e-6 relative: the f32 V-cycle-preconditioned CG
+    # reaches it reliably on the normalized system, and a deeper pass
+    # halves the number of restarts (each restart costs a ~0.2 s f64
+    # exact-residual application)
+    tol2 = jnp.asarray(
+        jnp.maximum(jnp.maximum(rtol, 1e-6) ** 2,
+                    jnp.where(rr0 > 0, target2 / rr0, 1.0)), jnp.float32)
+    return R0, scale, tol2, rr0
+
+
+@partial(jax.jit, static_argnames=("grid", "which", "dim", "degree",
                                    "inner_max"))
-def _cg_pass(levels, coarse, fine_pad, vert_pos, r_g, rr0, rtol,
-             target2, *, GY, GX, which, degree=2, inner_max=96):
-    """One float32 lattice-GMG CG pass on the scaled residual; returns
-    (dx in f64 global layout, inner iterations).
+def _cg_pass32(levels, coarse32, fine_pad, R0, tol2, *, grid, which,
+               dim, degree=2, inner_max=96):
+    """One float32 lattice-GMG CG pass on the normalized lattice
+    residual; returns (best iterate, inner iterations), both f32.
 
-    With fine_pad given, the finest-level matvec (the dominant op in
-    both the CG loop and the V-cycle smoother) runs through the Pallas
-    stencil kernel on the pre-padded jac layout."""
-    k = 2 if which == "u" else 1
-    lo, hi = (0, 8) if which == "u" else (8, 12)
+    This computation is ALL-f32 by construction (inputs f32/bool, i32
+    counter, f32 coarse factor), so the Pallas stencil kernel can serve
+    the finest-level matvec: XLA's X64-rewrite pass refuses any
+    computation mixing a tpu_custom_call with f64 ops.  With fine_pad
+    given, the finest-level matvec (the dominant op in both the CG loop
+    and the V-cycle smoother) runs through the Pallas kernel on the
+    pre-padded jac layout."""
+    k, lo, hi = _blk(which, dim)
     levels = list(levels)
     fin = levels[-1]
     if fine_pad is not None:
         from ..ops import pallas_stencil as ps
+        GY, GX = grid
 
         def fine_op(X):
             X = jnp.where(fin.free, X, 0.0)
@@ -525,27 +631,8 @@ def _cg_pass(levels, coarse, fine_pad, vert_pos, r_g, rr0, rtol,
     else:
         fine_op = _masked_mv(fin, lo, hi, k)
     M32 = make_vcycle(levels, lo, hi, k, degree=degree,
-                      coarse_factor=coarse, fine_op=fine_op)
+                      coarse_factor=coarse32, fine_op=fine_op)
     op32 = fine_op
-
-    scale = jnp.sqrt(rr0)
-    inv_scale = jnp.where(scale > 0, 1.0 / scale, 0.0)
-    if k == 1:
-        R0 = jnp.zeros((GY * GX,), jnp.float32).at[vert_pos].set(
-            (r_g * inv_scale).astype(jnp.float32)).reshape(1, GY, GX)
-    else:
-        rm = (r_g * inv_scale).astype(jnp.float32).reshape(-1, k)
-        R0 = jnp.moveaxis(
-            jnp.zeros((GY * GX, k), jnp.float32).at[vert_pos].set(rm)
-            .reshape(GY, GX, k), -1, 0)
-    R0 = jnp.where(fin.free, R0, 0.0)
-    # pass target 1e-6 relative: the f32 V-cycle-preconditioned CG
-    # reaches it reliably on the normalized system, and a deeper pass
-    # halves the number of restarts (each restart costs a ~0.2 s f64
-    # exact-residual application)
-    tol2 = jnp.asarray(
-        jnp.maximum(jnp.maximum(rtol, 1e-6) ** 2,
-                    jnp.where(rr0 > 0, target2 / rr0, 1.0)), jnp.float32)
     Z0 = M32(R0)
 
     def cond(s):
@@ -570,105 +657,139 @@ def _cg_pass(levels, coarse, fine_pad, vert_pos, r_g, rr0, rtol,
         return X, R, Z, Pv, rz_new, kk + 1, Xb, rrb
 
     s0 = (jnp.zeros_like(R0), R0, Z0, Z0, jnp.vdot(R0, Z0),
-          jnp.asarray(0), jnp.zeros_like(R0),
+          jnp.asarray(0, jnp.int32), jnp.zeros_like(R0),
           jnp.asarray(1.0, jnp.float32))
     s = jax.lax.while_loop(cond, body, s0)
-    Xb = s[6].astype(jnp.float64)
-    if k == 1:
-        dx = Xb.reshape(-1)[vert_pos]
+    return s[6], s[5]
+
+
+@partial(jax.jit, static_argnames=("which", "dim", "with_split",
+                                   "monolithic"))
+def _pass_apply(Xb, scale, vert_pos, x_acc, b, u, phi, phi_old, phi_oold,
+                ca64, sc, con, active, *, which, dim, with_split,
+                monolithic):
+    """f32 -> f64 boundary of one CG pass, fused into ONE dispatch:
+    un-normalize the pass iterate, form the trial accumulate, apply the
+    exact f64 Newton operator and compute the trial residual.  Returns
+    (x_try, r_try, rr_try, jp) with jp = J_pu x_try (consumed by the
+    phase-field block's right-hand side when which == 'u')."""
+    k, _, _ = _blk(which, dim)
+    dx = _to_glob(Xb.astype(jnp.float64), vert_pos, k)
+    x_try = x_acc + dx * scale
+    zero_u = jnp.zeros(u.shape[0], b.dtype)
+    zero_p = jnp.zeros(phi.shape[0], b.dtype)
+    from ..ops.constraints import condense_residual, expand_update
+
+    def res64(uu, pp):
+        return physics.assemble_residual(
+            uu, pp, phi_old, phi_oold, ca64, sc,
+            dim=dim, with_split=with_split, monolithic=monolithic)
+
+    if which == "u":
+        eu, ep = expand_update(x_try, zero_p, con, active)
     else:
-        dx = jnp.moveaxis(Xb, 0, -1).reshape(-1, k)[vert_pos].reshape(-1)
-    return dx * scale, s[5]
+        eu, ep = expand_update(zero_u, x_try, con, active)
+    _, (ju_r, jp_r) = jax.jvp(res64, (u, phi), (eu, ep))
+    ju, jp = condense_residual(-ju_r, -jp_r, con, active)
+    r_try = b - (ju if which == "u" else jp)
+    rr_try = jnp.vdot(r_try, r_try).real
+    return x_try, r_try, rr_try, jp
 
 
 def _solve_split(sys, hier: LatticeHierarchy, u, phi, phi_old, phi_oold,
                  con, active, rhs_u, rhs_p, with_split, passes=3):
     """Host-orchestrated restarted-refinement solve with bounded device
-    executions.  Mathematically identical to _solve_newton_system."""
+    executions.  Mathematically identical to _solve_newton_system.
+
+    Per CG pass, exactly three device dispatches: _pass_setup (f64
+    residual -> normalized f32 lattice rhs), _cg_pass32 (the all-f32
+    GMG-preconditioned CG, Pallas stencil matvec on the finest level),
+    and _pass_apply (f64 trial accumulate + exact Newton-operator
+    residual).  The f32/f64 split is what lets the Pallas kernel run in
+    production: XLA's X64-rewrite pass rejects computations mixing a
+    tpu_custom_call with f64 ops, so the pass itself must be f64-free."""
     p = sys.params
     rtol = p.cg_rtol
     eps64 = float(np.finfo(np.float64).eps)
     kw = dict(dim=sys.dim, with_split=with_split,
               monolithic=sys.monolithic)
+    grid = hier.grid
     jacs = _prepare(u, phi, phi_old, phi_oold, sys.lattice_ca32,
-                    sys.scalars, hier.P_embed, GY=hier.GY, GX=hier.GX,
+                    sys.scalars, hier.P_embed, grid=grid,
                     n_levels=hier.n_levels, **kw)
-
-    op64 = lambda xu, xp: _op64_apply(
-        u, phi, phi_old, phi_oold, sys.ca, sys.scalars, con, active,
-        xu, xp, **kw)
-    zero_u = jnp.zeros_like(rhs_u)
-    zero_p = jnp.zeros_like(rhs_p)
     total_its = 0
     last_ju_pu = [None]   # J_pu du of the final accepted u iterate
 
-    # The Pallas stencil kernel is opt-in (CRACKS_TPU_PALLAS=1): it is
-    # validated standalone (tests/test_pallas_stencil.py, measured 1.3x
-    # the XLA matvec on TPU), but XLA's X64-rewrite pass currently
-    # cannot process a computation that mixes the tpu_custom_call with
-    # f64 ops ("While rewriting computation to not contain X64 element
-    # types ... not implemented"), and the solve needs f64 for the
-    # coarse factor + refinement scalars.  Revisit when the kernel can
-    # live in an all-f32 jit or the rewrite pass learns custom calls.
+    # Pallas stencil matvec (2d lattices): default ON (validated in
+    # tests/test_pallas_stencil.py and by the golden suite through this
+    # path; ~2.3x traffic advantage over the XLA slice formulation).
+    # CRACKS_TPU_PALLAS=0 opts out; CPU backends always use XLA slices.
     import os
-    use_pallas = (os.environ.get("CRACKS_TPU_PALLAS") == "1"
+    use_pallas = (os.environ.get("CRACKS_TPU_PALLAS", "1") == "1"
+                  and sys.dim == 2
                   and jax.default_backend() != "cpu")
 
     def block(which, b):
         nonlocal total_its
-        levels, coarse, fine_pad = _prepare_levels(
+        levels, coarse32, fine_pad = _prepare_levels(
             jacs, hier.dir_u, hier.dir_p, hier.vert_pos, active,
-            GY=hier.GY, which=which, pallas=use_pallas)
+            grid=grid, which=which, dim=sys.dim, pallas=use_pallas)
+        fin_free = levels[-1].free
         bnorm = float(jnp.sqrt(jnp.vdot(b, b).real))
         target2 = max(rtol * bnorm, 100.0 * eps64 * bnorm) ** 2
+        target2_d = jnp.asarray(target2)
         x_acc = jnp.zeros_like(b)
         r_cur = b
         rr_cur = bnorm * bnorm
+        setup = None
         for _ in range(passes):
             if rr_cur <= target2:
                 break
-            dx, k = _cg_pass(levels, coarse, fine_pad, hier.vert_pos,
-                             r_cur, jnp.asarray(rr_cur), rtol,
-                             jnp.asarray(target2), GY=hier.GY,
-                             GX=hier.GX, which=which)
-            total_its += int(k)
-            x_try = x_acc + dx
-            if which == "u":
-                ju, jp = op64(x_try, zero_p)
-                r_try = b - ju
-            else:
-                _, jp2 = op64(zero_u, x_try)
-                r_try = b - jp2
-            rr_try = float(jnp.vdot(r_try, r_try).real)
+            if setup is None:
+                setup = _pass_setup(fin_free, hier.vert_pos, r_cur,
+                                    rtol, target2_d, grid=grid,
+                                    which=which, dim=sys.dim)
+            R0, scale_d, tol2, _rr0 = setup
+            Xb, k_d = _cg_pass32(levels, coarse32, fine_pad, R0, tol2,
+                                 grid=grid, which=which, dim=sys.dim)
+            x_try, r_try, rr_try_d, jp_d = _pass_apply(
+                Xb, scale_d, hier.vert_pos, x_acc, b, u, phi, phi_old,
+                phi_oold, sys.ca, sys.scalars, con, active, which=which,
+                **kw)
+            k_h, rr_try = jax.device_get((k_d, rr_try_d))
+            total_its += int(k_h)
+            rr_try = float(rr_try)
             if not np.isfinite(rr_try) or rr_try >= rr_cur:
                 break
             progress = rr_try / max(rr_cur, 1e-300)
             x_acc, r_cur = x_try, r_try
             if which == "u":
-                last_ju_pu[0] = jp
+                last_ju_pu[0] = jp_d
             rr_cur = rr_try
+            setup = None
             if rr_cur <= target2 or progress > 0.25:
                 break
         return x_acc
 
     du = block("u", rhs_u)
     if last_ju_pu[0] is None:
-        _, jp = op64(du, zero_p)
-        last_ju_pu[0] = jp
-    rhs_p2 = rhs_p - last_ju_pu[0]
+        # no accepted pass: du == 0, so J_pu du == 0
+        rhs_p2 = rhs_p
+    else:
+        rhs_p2 = rhs_p - last_ju_pu[0]
     dp = block("p", rhs_p2)
     return du, dp, total_its
 
 
-@partial(jax.jit, static_argnames=("GY", "GX", "n_levels", "dim",
+@partial(jax.jit, static_argnames=("grid", "n_levels", "dim",
                                    "with_split", "monolithic", "degree",
                                    "inner_max", "passes"))
 def _solve_newton_system(u, phi, phi_old, phi_oold, ca64, caL32, sc,
                          vert_pos, dir_u, dir_p, P_embed, con, active,
-                         rhs_u, rhs_p, rtol, *, GY: int, GX: int,
-                         n_levels: int, dim: int, with_split: bool,
-                         monolithic: bool, degree: int = 2,
-                         inner_max: int = 64, passes: int = 3):
+                         rhs_u, rhs_p, rtol, *, grid, n_levels: int,
+                         dim: int, with_split: bool, monolithic: bool,
+                         degree: int = 2, inner_max: int = 64,
+                         passes: int = 3):
     """Fused Newton-system solve on the tensor-grid lattice.
 
     Same mathematical structure as galerkin.solve_newton_system —
@@ -680,10 +801,13 @@ def _solve_newton_system(u, phi, phi_old, phi_oold, ca64, caL32, sc,
 
     f32 = lambda x: x.astype(jnp.float32)
     sc32 = physics.Scalars(*(f32(v) for v in sc))
+    nvc = 2 ** dim
+    ndl = nvc * (dim + 1)
+    cgrid = tuple(g - 1 for g in grid)
     jacL = physics.element_matrices(
         f32(u), f32(phi), f32(phi_old), f32(phi_oold), caL32, sc32,
         dim=dim, with_split=with_split, monolithic=monolithic,
-        cell_last=True).reshape(12, 12, GY - 1, GX - 1)
+        cell_last=True).reshape((ndl, ndl) + cgrid)
 
     # f64 Newton operator, matrix-free (exact; global layout)
     def res64(uu, pp):
@@ -703,33 +827,16 @@ def _solve_newton_system(u, phi, phi_old, phi_oold, ca64, caL32, sc,
     for _ in range(n_levels - 1):
         jacs.insert(0, coarsen(jacs[0], P_embed))
 
-    # lattice <-> global converters
-    vp = vert_pos
-
-    def to_lat(xg, k):
-        if k == 1:
-            X = jnp.zeros((GY * GX,), xg.dtype).at[vp].set(xg)
-            return X.reshape(1, GY, GX)
-        xm = xg.reshape(-1, k)
-        X = jnp.zeros((GY * GX, k), xg.dtype).at[vp].set(xm)
-        return jnp.moveaxis(X.reshape(GY, GX, k), -1, 0)
-
-    def to_glob(X, k):
-        if k == 1:
-            return X.reshape(-1)[vp]
-        Xf = jnp.moveaxis(X, 0, -1).reshape(-1, k)
-        return Xf[vp].reshape(-1)
-
     # active set on the lattice (phi block)
-    active_L = to_lat(active.astype(jnp.float32), 1) > 0.5
+    active_L = _to_lat(active.astype(jnp.float32), vert_pos, grid,
+                       1) > 0.5
     eps64 = float(jnp.finfo(jnp.float64).eps)
     zero_u = jnp.zeros_like(rhs_u)
     zero_p = jnp.zeros_like(rhs_p)
 
     def block_solve(which, b):
-        k = dim if which == "u" else 1
-        lo, hi = (0, 8) if which == "u" else (8, 12)
-        levels = _build_block_levels(jacs, dir_u, dir_p, GY, active_L,
+        k, lo, hi = _blk(which, dim)
+        levels = _build_block_levels(jacs, dir_u, dir_p, grid, active_L,
                                      lo, hi, k, which)
         fin = levels[-1]
         M32 = make_vcycle(levels, lo, hi, k, degree=degree)
@@ -744,7 +851,8 @@ def _solve_newton_system(u, phi, phi_old, phi_oold, ca64, caL32, sc,
         def one_pass(r0g, rr0):
             scale = jnp.sqrt(rr0)
             inv_scale = jnp.where(scale > 0, 1.0 / scale, 0.0)
-            R0 = to_lat((r0g * inv_scale), k).astype(jnp.float32)
+            R0 = _to_lat((r0g * inv_scale), vert_pos, grid,
+                         k).astype(jnp.float32)
             R0 = jnp.where(fin.free, R0, 0.0)
             tol2 = jnp.asarray(
                 jnp.maximum(jnp.maximum(rtol, 1e-5) ** 2,
@@ -777,7 +885,7 @@ def _solve_newton_system(u, phi, phi_old, phi_oold, ca64, caL32, sc,
                   jnp.asarray(0), jnp.zeros_like(R0),
                   jnp.asarray(1.0, jnp.float32))
             s = jax.lax.while_loop(cond, body, s0)
-            dx = to_glob(s[6].astype(jnp.float64), k) * scale
+            dx = _to_glob(s[6].astype(jnp.float64), vert_pos, k) * scale
             return dx, s[5]
 
         def outer_body(carry):

@@ -271,8 +271,11 @@ def _fused_active_set_update(u, phi, phi_old, phi_oold, tot_p, active_old,
     # float64 emulation leaves ~1e-18 noise there, which would activate
     # tens of thousands of bulk dofs on the sign of rounding error; the
     # tiny absolute floor is far below any genuine activation (those are
-    # O(stress) ~ O(G_c/eps)) and far above arithmetic noise.
-    atol = 1e-12 * jnp.maximum(c_weight, 1.0)
+    # O(stress) ~ O(G_c/eps)) and far above arithmetic noise.  The floor
+    # scales with the problem's own stress scales (c_weight = 10 E and
+    # the crack driving force G_c/eps) so strongly nondimensionalized
+    # configurations (E << 1) keep a proportionally small floor.
+    atol = 1e-12 * jnp.maximum(c_weight, sc.G_c / sc.alpha_eps)
     active = ((indicator > atol) | cycling) & ~hang_mask
     phi = jnp.where(active, phi_old, phi)
     phi = hanging_interpolate_p(phi, con)

@@ -34,7 +34,7 @@ def test_detect_tensor_grid():
     mesh = f.extract()
     lay = lat.detect_tensor_grid(mesh)
     assert lay is not None
-    assert lay.GY == lay.GX == 41
+    assert lay.grid == (41, 41)
     # slit meshes (duplicated seam vertices) must NOT be detected
     import os
     from cracks_tpu.driver import MESH_DIR
@@ -63,43 +63,104 @@ def test_lattice_matvec_equals_assembled():
     kw = dict(dim=2, with_split=False, monolithic=False)
     jacL = physics.element_matrices(u, phi, phi, phi, caL, sc,
                                     cell_last=True, **kw)
-    jacL = jacL.reshape(12, 12, lay.GY - 1, lay.GX - 1)
+    jacL = jacL.reshape((12, 12) + tuple(g - 1 for g in lay.grid))
     jac = physics.element_matrices(u, phi, phi, phi, ca, sc,
                                    cell_last=True, **kw)
 
     from cracks_tpu.solvers import assembled
     x = jnp.asarray(rng.normal(size=n_v * 2), jnp.float32)
     y_ref = assembled.matvec_uu(jac, ca, x, dim=2)
-    X = jnp.moveaxis(jnp.zeros((lay.GY * lay.GX, 2), jnp.float32)
-                     .at[jnp.asarray(lay.vert_pos)]
-                     .set(x.reshape(-1, 2))
-                     .reshape(lay.GY, lay.GX, 2), -1, 0)
+    X = lat._to_lat(x, jnp.asarray(lay.vert_pos), lay.grid, 2)
     Y = lat.matvec(jacL, X, 0, 8, 2)
-    y = jnp.moveaxis(Y, 0, -1).reshape(-1, 2)[
-        jnp.asarray(lay.vert_pos)].reshape(-1)
+    y = lat._to_glob(Y, jnp.asarray(lay.vert_pos), 2)
     np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
                                rtol=2e-5, atol=2e-5)
 
     xp = jnp.asarray(rng.normal(size=n_v), jnp.float32)
     yp_ref = assembled.matvec_pp(jac, ca, xp, dim=2)
-    Xp = jnp.zeros((lay.GY * lay.GX,), jnp.float32).at[
-        jnp.asarray(lay.vert_pos)].set(xp).reshape(1, lay.GY, lay.GX)
+    Xp = lat._to_lat(xp, jnp.asarray(lay.vert_pos), lay.grid, 1)
     Yp = lat.matvec(jacL, Xp, 8, 12, 1)
-    yp = Yp.reshape(-1)[jnp.asarray(lay.vert_pos)]
+    yp = lat._to_glob(Yp, jnp.asarray(lay.vert_pos), 1)
     np.testing.assert_allclose(np.asarray(yp), np.asarray(yp_ref),
                                rtol=2e-5, atol=2e-5)
 
 
+def test_lattice_matvec_equals_assembled_3d():
+    """3d octree-lattice matvec against the generic gather/scatter
+    stored-matrix operator (reference treats 3d as first-class,
+    cracks.cc:4648-4658)."""
+    f = Forest(meshio.rect_mesh([0, 0, 0], [1, 1, 1], [1, 1, 1]))
+    f.refine_global(2)
+    mesh = f.extract()
+    lay = lat.detect_tensor_grid(mesh)
+    assert lay is not None and lay.grid == (5, 5, 5)
+    p = Parameters(test_case="sneddon", pressure_expr="1.0e-3",
+                   G_c=1.0, poisson_ratio_nu=0.2, E_modulus=1.0,
+                   dimension=3)
+    lam, mu = problems.cell_lame_fields(p, mesh, None)
+    sc = physics.make_scalars(1e-3, 1e-8, 0.5, 1.0, 0.0, 1.0, 1.0, 0.0,
+                              dtype=jnp.float32)
+    caL = lat.permuted_cell_arrays(mesh, lam, mu, lay)
+    ca = physics.build_cell_arrays(mesh, lam, mu, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    n_v = mesh.n_vertices
+    u = jnp.asarray(rng.normal(size=n_v * 3), jnp.float32)
+    phi = jnp.asarray(rng.uniform(0.2, 1.0, n_v), jnp.float32)
+    kw = dict(dim=3, with_split=False, monolithic=False)
+    jacL = physics.element_matrices(u, phi, phi, phi, caL, sc,
+                                    cell_last=True, **kw)
+    jacL = jacL.reshape((32, 32) + tuple(g - 1 for g in lay.grid))
+    jac = physics.element_matrices(u, phi, phi, phi, ca, sc,
+                                   cell_last=True, **kw)
+
+    from cracks_tpu.solvers import assembled
+    vp = jnp.asarray(lay.vert_pos)
+    x = jnp.asarray(rng.normal(size=n_v * 3), jnp.float32)
+    y_ref = assembled.matvec_uu(jac, ca, x, dim=3)
+    Y = lat.matvec(jacL, lat._to_lat(x, vp, lay.grid, 3), 0, 24, 3)
+    np.testing.assert_allclose(
+        np.asarray(lat._to_glob(Y, vp, 3)), np.asarray(y_ref),
+        rtol=2e-5, atol=2e-5)
+    xp = jnp.asarray(rng.normal(size=n_v), jnp.float32)
+    yp_ref = assembled.matvec_pp(jac, ca, xp, dim=3)
+    Yp = lat.matvec(jacL, lat._to_lat(xp, vp, lay.grid, 1), 24, 32, 1)
+    np.testing.assert_allclose(
+        np.asarray(lat._to_glob(Yp, vp, 1)), np.asarray(yp_ref),
+        rtol=2e-5, atol=2e-5)
+
+
 def test_prolong_restrict_transpose():
     rng = np.random.default_rng(1)
-    GYc = GXc = 9
-    GY = GX = 17
-    for k in (1, 2):
-        Xc = jnp.asarray(rng.normal(size=(k, GYc, GXc)))
-        Yf = jnp.asarray(rng.normal(size=(k, GY, GX)))
-        lhs = jnp.vdot(lat.prolong(Xc, GY, GX, k), Yf)
-        rhs = jnp.vdot(Xc, lat.restrict(Yf, k))
-        assert float(abs(lhs - rhs)) < 1e-10 * float(abs(lhs) + 1)
+    for grid_c, grid_f in (((9, 9), (17, 17)), ((5, 5, 5), (9, 9, 9))):
+        for k in (1, 2):
+            Xc = jnp.asarray(rng.normal(size=(k,) + grid_c))
+            Yf = jnp.asarray(rng.normal(size=(k,) + grid_f))
+            lhs = jnp.vdot(lat.prolong(Xc, grid_f, k), Yf)
+            rhs = jnp.vdot(Xc, lat.restrict(Yf, k))
+            assert float(abs(lhs - rhs)) < 1e-10 * float(abs(lhs) + 1)
+
+
+def test_prolong_is_q1_embedding():
+    """Prolongation must reproduce the exact multilinear interpolation
+    of coarse nodal values (2d and 3d)."""
+    rng = np.random.default_rng(2)
+    for grid_c in ((5, 7), (3, 4, 5)):
+        grid_f = tuple(2 * g - 1 for g in grid_c)
+        dim = len(grid_c)
+        Xc = rng.normal(size=(1,) + grid_c)
+        Xf = np.asarray(lat.prolong(jnp.asarray(Xc), grid_f, 1))
+        # even-index injection
+        inj = Xf[(0,) + tuple(slice(None, None, 2) for _ in grid_c)]
+        np.testing.assert_allclose(inj, Xc[0], atol=1e-14)
+        # centers = mean of the 2^dim surrounding coarse nodes
+        import itertools
+        center = Xf[(0,) + tuple(slice(1, None, 2) for _ in grid_c)]
+        acc = np.zeros_like(center)
+        for o in itertools.product((0, 1), repeat=dim):
+            sl = tuple(slice(o[j], grid_c[j] - 1 + o[j])
+                       for j in range(dim))
+            acc += Xc[(0,) + sl]
+        np.testing.assert_allclose(center, acc / 2 ** dim, atol=1e-13)
 
 
 def test_split_solve_matches_fused(monkeypatch):
