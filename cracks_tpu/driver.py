@@ -217,13 +217,13 @@ class Simulation:
                     p, m, 0.0, initial_step=False)
                 return mu_, mp_
 
-            if (p.assembled_matvec and self.sys.ca32 is not None
-                    and p.n_devices == 1):
+            if p.assembled_matvec and self.sys.ca32 is not None:
                 # tensor-grid (monolattice) fast path: gather-free
-                # Krylov loop on uniformly refined rect meshes; serves
-                # the fused mixed-precision single-chip solve
-                # (solvers/lattice.py); multi-chip runs keep the GSPMD
-                # galerkin path
+                # Krylov loop on uniformly refined rect/cube meshes
+                # (solvers/lattice.py), 2d and 3d.  Multi-chip runs
+                # shard the cell axis over the device mesh and let
+                # GSPMD partition the lattice solve (slice-shift
+                # patterns become halo exchanges over ICI).
                 from .solvers import lattice
                 lay = lattice.detect_tensor_grid(self.mesh)
                 if lay is not None:
@@ -231,10 +231,15 @@ class Simulation:
                         self.mesh, lay, dirichlet_fn)
                     if hier is not None:
                         self.sys.lattice_hierarchy = hier
-                        self.sys.lattice_ca32 = \
-                            lattice.permuted_cell_arrays(
-                                self.mesh, self.sys.lam_cells,
-                                self.sys.mu_cells, lay)
+                        caL = lattice.permuted_cell_arrays(
+                            self.mesh, self.sys.lam_cells,
+                            self.sys.mu_cells, lay,
+                            chunk=(p.n_devices == 1))
+                        if self.sys._device_mesh is not None:
+                            from .parallel import sharding as _sh
+                            caL = _sh.shard_cell_arrays_nopad(
+                                caL, self.sys._device_mesh)
+                        self.sys.lattice_ca32 = caL
             if (p.assembled_matvec
                     and getattr(self.sys, "lattice_hierarchy",
                                 None) is None):

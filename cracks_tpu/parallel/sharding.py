@@ -80,6 +80,22 @@ def pad_cell_arrays(ca: physics.CellArrays, n_devices: int) -> physics.CellArray
     )
 
 
+def shard_cell_arrays_nopad(ca: physics.CellArrays,
+                            mesh: Mesh) -> physics.CellArrays:
+    """Place the cell axis on the device mesh WITHOUT padding the cell
+    count (uneven trailing shards are fine for GSPMD).  Used by the
+    lattice fast path, whose (ndl, ndl, *cellgrid) reshape requires the
+    exact raster cell count."""
+    out = {}
+    for name, spec in _CA_SPEC._asdict().items():
+        arr = getattr(ca, name)
+        if name == "chunked" or arr is None:
+            out[name] = None if name == "chunked" else arr
+            continue
+        out[name] = jax.device_put(arr, NamedSharding(mesh, spec))
+    return physics.CellArrays(**out)
+
+
 def shard_cell_arrays(ca: physics.CellArrays, mesh: Mesh) -> physics.CellArrays:
     """Place each cell-axis leaf on the device mesh.
 

@@ -148,10 +148,12 @@ def detect_tensor_grid(mesh) -> LatticeLayout | None:
 
 
 def permuted_cell_arrays(mesh, lam, mu, lay: LatticeLayout,
-                         dtype=jnp.float32) -> physics.CellArrays:
+                         dtype=jnp.float32,
+                         chunk: bool = True) -> physics.CellArrays:
     """CellArrays with cells in lattice raster order, so the element
     matrices come out of physics.element_matrices already reshapable to
-    (ndl, ndl, *cellgrid)."""
+    (ndl, ndl, *cellgrid).  chunk=False skips the scan duplicate (used
+    when the cell axis will be sharded across devices instead)."""
     ca = physics.build_cell_arrays(mesh, lam, mu, dtype=dtype,
                                    chunk=False)
     p = lay.cell_perm
@@ -159,8 +161,10 @@ def permuted_cell_arrays(mesh, lam, mu, lay: LatticeLayout,
     g_u, g_p = take(ca.gather_u), take(ca.gather_p)
     JxW, grads = take(ca.JxW), take(ca.grads)
     lam_, mu_, invd2 = take(ca.lam), take(ca.mu), take(ca.inv_diam2)
-    chunked = physics.make_chunked(g_u, g_p, JxW, grads, lam_, mu_,
-                                   invd2, dtype)
+    chunked = None
+    if chunk:
+        chunked = physics.make_chunked(g_u, g_p, JxW, grads, lam_, mu_,
+                                       invd2, dtype)
     j = lambda a, dt=dtype: jnp.asarray(a, dtype=dt)
     return physics.CellArrays(
         gather_u=j(g_u, jnp.int32), gather_p=j(g_p, jnp.int32),

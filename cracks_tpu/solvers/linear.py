@@ -2,11 +2,15 @@
 
 Two paths, mirroring the reference's solve() (cracks.cc:2744-2777):
 
- * direct — assemble the element Jacobians on device (batched dense
-   jacfwd, ops/physics.element_matrices), reduce with the constraint
-   matrix on the host and factorize with SuperLU.  This replaces
-   Trilinos Amesos SolverDirect (cracks.cc:2750-2758) and is exact, so
-   it also serves as the correctness oracle for the matrix-free path.
+ * direct — assemble the element Jacobians, reduce with the (dense)
+   constraint matrix and LU-factorize, ALL ON DEVICE (one jit).  This
+   replaces Trilinos Amesos SolverDirect (cracks.cc:2750-2758) and is
+   exact, so it also serves as the correctness oracle for the
+   matrix-free path.  Dense is the right "sparse direct" analogue on
+   TPU (no sparse LU exists there); it is capped at
+   DENSE_DIRECT_MAX_DOFS — larger systems fall back to the tight-
+   tolerance Krylov path, which is the sanctioned stand-in (SURVEY
+   section 2b: "dense/banded solve on device, or CG with tight tol").
 
  * cg — matrix-free block-triangular solve.  The quasi-monolithic
    Jacobian is block *lower* triangular (displacement rows do not couple
@@ -29,8 +33,6 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 import numpy as np
-import scipy.sparse as sp
-import scipy.sparse.linalg as spla
 
 from ..ops import physics
 from ..ops.constraints import (Constraints, condense_residual, expand_update)
@@ -40,92 +42,81 @@ from ..ops.constraints import (Constraints, condense_residual, expand_update)
 # direct path
 # ---------------------------------------------------------------------------
 
-def _global_dof_ids(ca: physics.CellArrays, n_ud: int) -> np.ndarray:
-    """Per-cell global dof ids in the local ordering of element_matrices:
-    u dofs vertex-major, then phi dofs offset by n_ud."""
-    gu = np.asarray(ca.gather_u).T          # (c, nvc*dim)
-    gp = np.asarray(ca.gather_p).T + n_ud   # (c, nvc)
-    return np.concatenate([gu, gp], axis=1)
+# Dense direct solves above this size would need multi-GB (n, n)
+# intermediates; larger systems take the tight-tolerance Krylov path
+# instead (newton._solve catches the RuntimeError).
+DENSE_DIRECT_MAX_DOFS = 8000
 
 
-def _constraint_matrix(con: Constraints, active: np.ndarray, n_v: int,
-                       dim: int):
-    """C such that x_full = C x_free resolves hanging nodes and zeroes
-    Dirichlet/active dofs (homogeneous constraints)."""
-    n_ud = n_v * dim
-    n_dofs = n_ud + n_v
-    child_u = np.asarray(con.hang_child_u)
-    masters_u = np.asarray(con.hang_masters_u)
-    weights_u = np.asarray(con.hang_weights_u)
-    child_p = np.asarray(con.hang_child_p) + n_ud
-    masters_p = np.asarray(con.hang_masters_p) + n_ud
-    weights_p = np.asarray(con.hang_weights)
+@partial(jax.jit, static_argnames=("dim", "with_split", "monolithic"))
+def _direct_dense_solve(u, phi, phi_old, phi_oold, ca, sc, con, active,
+                        rhs_u, rhs_p, *, dim, with_split, monolithic):
+    """One-dispatch dense reduced solve: element Jacobians -> dense
+    global matrix (scatter-add) -> dense constraint matrix C (identity
+    on free dofs, Q1 interpolation rows for hanging children, zeroed
+    constrained columns — AffineConstraints::close() semantics) ->
+    LU of C^T A C + I_constrained -> x = C x_red.
 
-    constrained = np.zeros(n_dofs, dtype=bool)
-    constrained[:n_ud] = np.asarray(con.dirichlet_u)
-    constrained[n_ud:] = np.asarray(con.dirichlet_p) | np.asarray(active)
-    constrained[child_u] = True
-    constrained[child_p] = True
+    Returns (du, dp, min |U_ii|, max |U_ii|) — the caller uses the
+    diagonal extrema to detect an exactly singular factor (the analogue
+    of Amesos' factorization failure)."""
+    n_ud = u.shape[0]
+    n_v = phi.shape[0]
+    n = n_ud + n_v
+    jac = physics.element_matrices(
+        u, phi, phi_old, phi_oold, ca, sc,
+        dim=dim, with_split=with_split, monolithic=monolithic)
+    gids = jnp.concatenate([ca.gather_u.T, ca.gather_p.T + n_ud],
+                           axis=1)                     # (n_c, ndl)
+    A = jnp.zeros((n, n), u.dtype).at[
+        gids[:, :, None], gids[:, None, :]].add(jac)
 
-    rows, cols, vals = [], [], []
-    free = np.where(~constrained)[0]
-    rows.append(free)
-    cols.append(free)
-    vals.append(np.ones(len(free)))
-    for m in range(masters_u.shape[1]):
-        rows.append(child_u)
-        cols.append(masters_u[:, m])
-        vals.append(weights_u[:, m])
-        rows.append(child_p)
-        cols.append(masters_p[:, m])
-        vals.append(weights_p[:, m])
-
-    C = sp.coo_matrix(
-        (np.concatenate(vals), (np.concatenate(rows), np.concatenate(cols))),
-        shape=(n_dofs, n_dofs)).tocsr()
-    # Resolve constraint chains the way AffineConstraints::close() does:
-    # a hanging child whose master is itself constrained (Dirichlet or
-    # active) interpolates a zero from it in the homogeneous update
-    # space, so constrained *columns* must be dropped.  (Without this,
-    # C^T A C has spurious entries in constrained rows and the
-    # distributed update violates the hanging constraints whenever an
-    # active-set dof is a hanging master — which stalls Newton.)
-    free_diag = sp.diags((~constrained).astype(np.float64))
-    C = (C @ free_diag).tocsr()
-    return C, constrained
+    constrained = jnp.concatenate(
+        [con.dirichlet_u, con.dirichlet_p | active])
+    if con.hang_child_u.shape[0]:
+        constrained = constrained.at[con.hang_child_u].set(True)
+        constrained = constrained.at[con.hang_child_p + n_ud].set(True)
+    free = (~constrained).astype(u.dtype)
+    C = jnp.diag(free)
+    if con.hang_child_u.shape[0]:
+        C = C.at[con.hang_child_u[:, None],
+                 con.hang_masters_u].add(con.hang_weights_u)
+        C = C.at[con.hang_child_p[:, None] + n_ud,
+                 con.hang_masters_p + n_ud].add(con.hang_weights)
+    # drop constrained columns (chains resolve to zero in the
+    # homogeneous update space; see _constraint_matrix notes)
+    C = C * free[None, :]
+    A_red = C.T @ (A @ C) + jnp.diag(constrained.astype(u.dtype))
+    lu, piv = jax.scipy.linalg.lu_factor(A_red)
+    b = jnp.concatenate([rhs_u, rhs_p])
+    x = C @ jax.scipy.linalg.lu_solve((lu, piv), b)
+    udiag = jnp.abs(jnp.diagonal(lu))
+    return x[:n_ud], x[n_ud:], jnp.min(udiag), jnp.max(udiag)
 
 
 def solve_direct(u, phi, phi_old, phi_oold, ca: physics.CellArrays,
                  sc: physics.Scalars, con: Constraints, active,
                  rhs_u, rhs_p, *, dim: int, with_split: bool,
                  monolithic: bool):
-    """Exact sparse solve of the reduced Newton system.
+    """Exact on-device dense solve of the reduced Newton system.
 
-    Returns (du (n_v*dim,), dp (n_v,)) with constraints distributed."""
-    n_ud = u.shape[0]
-    n_v = phi.shape[0]
-    jac = np.asarray(physics.element_matrices(
-        u, phi, phi_old, phi_oold, ca, sc,
-        dim=dim, with_split=with_split, monolithic=monolithic))
-    gids = _global_dof_ids(ca, n_ud)
-    n_c, ndl = gids.shape
-    rows = np.repeat(gids, ndl, axis=1).ravel()
-    cols = np.tile(gids, (1, ndl)).ravel()
-    n_dofs = n_ud + n_v
-    A = sp.coo_matrix((jac.ravel(), (rows, cols)),
-                      shape=(n_dofs, n_dofs)).tocsr()
-
-    C, constrained = _constraint_matrix(con, np.asarray(active), n_v, dim)
-    A_red = (C.T @ A @ C).tolil()
-    cidx = np.where(constrained)[0]
-    A_red[cidx, cidx] = 1.0
-    A_red = A_red.tocsc()
-
-    b = np.concatenate([np.asarray(rhs_u), np.asarray(rhs_p)])
-    x = spla.splu(A_red).solve(b)
-    x = C @ x
-    return (jnp.asarray(x[:n_ud], dtype=u.dtype),
-            jnp.asarray(x[n_ud:], dtype=u.dtype), 1)
+    Returns (du (n_v*dim,), dp (n_v,), 1) with constraints distributed.
+    Raises RuntimeError for systems too large for the dense path or for
+    an exactly singular factor (the caller falls back to CG, whose
+    iterates stay in the range space — same role as the reference's
+    GMRES, cracks.cc:2762-2771)."""
+    n_dofs = u.shape[0] + phi.shape[0]
+    if n_dofs > DENSE_DIRECT_MAX_DOFS:
+        raise RuntimeError(
+            f"dense direct solve capped at {DENSE_DIRECT_MAX_DOFS} DoFs "
+            f"(got {n_dofs}); use the Krylov path")
+    du, dp, umin, umax = _direct_dense_solve(
+        u, phi, phi_old, phi_oold, ca, sc, con, active, rhs_u, rhs_p,
+        dim=dim, with_split=with_split, monolithic=monolithic)
+    umin, umax = float(umin), float(umax)
+    if not np.isfinite(umax) or umin == 0.0 or not np.isfinite(umin):
+        raise RuntimeError("singular factor in dense direct solve")
+    return du, dp, 1
 
 
 # ---------------------------------------------------------------------------

@@ -56,7 +56,9 @@ def _solve(sys, u, phi, phi_old, phi_oold, con, active, rhs_u, rhs_p,
     p = sys.params
     mode = p.linear_solver
     if mode == "auto":
-        mode = "direct" if sys.mesh.n_dofs <= 20000 else "cg"
+        mode = ("direct"
+                if sys.mesh.n_dofs <= linear.DENSE_DIRECT_MAX_DOFS
+                else "cg")
     if mode == "direct":
         try:
             return linear.solve_direct(

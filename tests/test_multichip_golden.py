@@ -48,3 +48,33 @@ def test_miehe_shear2_np1_equals_np8(tmp_path, mixed):
     diff = np.abs(rows8[:, : g.shape[1]] - g)
     rel = diff / np.maximum(np.abs(g), 1e-300)
     assert ((diff <= 1e-6) | (rel <= 1e-8)).all(), (rows8, g)
+
+
+def test_sneddon_lattice_np1_equals_np8(tmp_path):
+    """np parity through the LATTICE fast path (the production solver
+    for tensor-grid meshes): a Sneddon step with the cell axis sharded
+    over all 8 devices must reproduce the 1-device lattice statistics.
+    Mirrors the reference's distributed-solve goldens
+    (tests/sneddon_3d_1.mpirun=4.*)."""
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+
+    def run(n_dev):
+        sim, _ = run_prm(f"{PRM_DIR}/sneddon_2d_1.prm",
+                         output_dir=str(tmp_path / f"lat{n_dev}"),
+                         n_global_pre_refine=3, n_local_pre_refine=0,
+                         n_refinement_cycles=0, max_no_timesteps=0,
+                         n_devices=n_dev, linear_solver="cg",
+                         preconditioner="gmg", cg_rtol=1e-8,
+                         mixed_precision_cg=True)
+        assert sim.sys.lattice_hierarchy is not None, \
+            "lattice fast path must be engaged"
+        return parse_statistics(sim.statistics.write_text())
+
+    names1, rows1 = run(1)
+    names8, rows8 = run(8)
+    assert names1 == names8
+    diff = np.abs(rows1 - rows8)
+    rel = diff / np.maximum(np.abs(rows1), 1e-300)
+    assert ((diff <= 1e-6) | (rel <= 1e-8)).all(), (rows1, rows8)
