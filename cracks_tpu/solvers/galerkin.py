@@ -24,11 +24,21 @@ machinery of solvers/assembled.py: batched dense matvecs, exact
 diagonals, Chebyshev smoothing, and a dense Cholesky on the coarsest
 level (the Amesos-direct analogue, cracks.cc:2750-2758).
 
-Restriction: Galerkin element coarsening requires the per-level meshes
-to have no hanging nodes (otherwise the global interpolation is not the
-cell-local embedding).  The production-scale configurations (uniformly
-refined Sneddon / fixed-mesh Miehe) satisfy this; adaptive runs fall
-back to the Jacobi/rediscretized paths.
+Hanging nodes (adaptive meshes): the element-RAP stays cell-local by
+coarsening the RAW (unconstrained) nodal operators — raw Q1 spaces nest
+exactly, so the coarse element matrices still inherit the fine
+coefficients — and applying each level's hanging-node condensation in
+the OPERATOR, not the matrices:
+
+    A_l^cond x = mask . H_l^T  A_l^raw  H_l . mask x
+
+with H_l the level's hanging interpolation (children from masters).
+This is deal.II's level-matrices-with-level-constraints construction
+(MGConstrainedDoFs) expressed as gather/scatter wrappers around the
+stored-element-matrix matvec; the coarsest dense factor condenses with
+a dense constraint matrix.  Adaptive hierarchies (predictor-corrector
+runs, cracks.cc:4419-4431) therefore get the same coefficient-exact
+GMG as uniform ones.
 """
 
 from __future__ import annotations
@@ -136,6 +146,9 @@ class GLevel(NamedTuple):
     up_weights_p: jax.Array
     up_masters_u: jax.Array
     up_weights_u: jax.Array
+    # this level's hanging-node constraints (empty arrays when the
+    # level mesh is conforming)
+    con: object
 
 
 class GalerkinHierarchy(NamedTuple):
@@ -149,11 +162,13 @@ def build_galerkin_hierarchy(forest: Forest, fine_mesh: MeshData,
                              min_coarse_vertices: int = 400):
     """Construct the Galerkin GMG hierarchy for the current forest.
 
-    Returns None when the configuration is unsupported (hanging nodes on
-    any level, or no usable coarsening)."""
+    Returns None when no usable coarsening exists.  Meshes with hanging
+    nodes (fine or level) are supported: each level carries its own
+    constraint bundle, applied in the level operators (module
+    docstring)."""
+    from ..ops.constraints import make_constraints
+
     dim = fine_mesh.dim
-    if len(fine_mesh.hang_child):
-        return None
     lmax = int(forest.level.max())
     chain = []  # (forest, mesh) coarse -> fine-1
     for l in range(lmax):
@@ -161,8 +176,6 @@ def build_galerkin_hierarchy(forest: Forest, fine_mesh: MeshData,
         if f_l.n_cells == forest.n_cells:
             break
         m_l = f_l.extract()
-        if len(m_l.hang_child):
-            return None
         if chain and m_l.n_vertices == chain[-1][1].n_vertices:
             continue
         chain.append((f_l, m_l))
@@ -204,7 +217,9 @@ def build_galerkin_hierarchy(forest: Forest, fine_mesh: MeshData,
             up_masters_p=jnp.asarray(masters, jnp.int32),
             up_weights_p=jnp.asarray(weights, dtype),
             up_masters_u=jnp.asarray(m_u, jnp.int32),
-            up_weights_u=jnp.asarray(w_u, dtype)))
+            up_weights_u=jnp.asarray(w_u, dtype),
+            con=make_constraints(m_l, np.asarray(mask_u),
+                                 np.asarray(mask_p), dtype=dtype)))
     return GalerkinHierarchy(
         levels=tuple(levels),
         P_embed=jnp.asarray(embedding_matrices(dim), dtype),
@@ -240,6 +255,10 @@ class _LevelOps(NamedTuple):
     up_weights_u: jax.Array
     up_masters_p: jax.Array
     up_weights_p: jax.Array
+    # hanging-node stencils of THIS level, per block (possibly empty);
+    # weights cast to the jac dtype
+    hang_u: tuple              # (child, masters, weights)
+    hang_p: tuple
 
 
 def _matvec(jac, gather, x, lo, hi):
@@ -248,12 +267,42 @@ def _matvec(jac, gather, x, lo, hi):
     return jnp.zeros_like(x).at[gather].add(ye)
 
 
-def _masked_op(jac, gather, free, lo, hi):
-    return lambda x: jnp.where(
-        free, _matvec(jac, gather, jnp.where(free, x, 0.0), lo, hi), 0.0)
+def _hinterp(x, hang):
+    """x with hanging children set from masters (H x)."""
+    child, masters, weights = hang
+    vals = jnp.einsum("hm,hm->h", weights.astype(x.dtype), x[masters])
+    return x.at[child].set(vals)
 
 
-def _gershgorin_lambda_max(jac, gather, free, Dinv, lo, hi):
+def _htranspose(r, hang):
+    """H^T r: child rows distributed to masters, children zeroed."""
+    child, masters, weights = hang
+    vals = r[child]
+    r = r.at[masters].add(weights.astype(r.dtype) * vals[:, None])
+    return r.at[child].set(0.0)
+
+
+def _hang_of(con, which):
+    if which == "u":
+        return (con.hang_child_u, con.hang_masters_u, con.hang_weights_u)
+    return (con.hang_child_p, con.hang_masters_p, con.hang_weights)
+
+
+def _masked_op(jac, gather, free, lo, hi, hang=None):
+    """Condensed masked block operator: mask . H^T A_raw H . mask
+    (H = identity when hang is None/empty — conforming level)."""
+    def op(x):
+        x = jnp.where(free, x, 0.0)
+        if hang is not None:
+            x = _hinterp(x, hang)
+        y = _matvec(jac, gather, x, lo, hi)
+        if hang is not None:
+            y = _htranspose(y, hang)
+        return jnp.where(free, y, 0.0)
+    return op
+
+
+def _gershgorin_lambda_max(jac, gather, free, Dinv, lo, hi, hang=None):
     """Deterministic upper bound on lambda_max(D^{-1} A): the Gershgorin
     row-sum bound max_i sum_j |A_ij| / d_i, with the row sums
     over-approximated element-wise (triangle inequality over cells).
@@ -261,16 +310,24 @@ def _gershgorin_lambda_max(jac, gather, free, Dinv, lo, hi):
     modes above its assumed spectrum edge, and a power-iteration
     estimate can sit below lambda_max when the dominant mode is
     localized in the degraded crack strip (observed: 1.54 vs 2.18 on
-    the fracture u-block, which made the V-cycle divergent)."""
+    the fracture u-block, which made the V-cycle divergent).
+
+    With hanging constraints, rows of the condensed operator H^T A H
+    pick up child-row contributions scaled by the (nonnegative) Q1
+    weights; |H|^T applied to the raw row sums over-approximates them."""
     rs = jnp.sum(jnp.abs(jac[lo:hi, lo:hi]), axis=1)        # (b, c)
     s = jnp.zeros_like(Dinv).at[gather].add(rs)
+    if hang is not None:
+        child, masters, weights = hang
+        s = s.at[masters].add(jnp.abs(weights.astype(s.dtype))
+                              * s[child][:, None])
     return jnp.max(jnp.where(free, s * jnp.abs(Dinv), 0.0))
 
 
 def build_level_ops(hier: GalerkinHierarchy, jac_fine, ca_fine, active,
-                    dirichlet_u_f, dirichlet_p_f, hang_mask_u_f,
-                    hang_mask_p_f, n_ud_f, n_p_f, *, dim: int):
-    """Per-level operator data, coarsest..finest, for both blocks."""
+                    con_f, *, dim: int):
+    """Per-level operator data, coarsest..finest, for both blocks.
+    con_f is the finest mesh's Constraints bundle."""
     nvc = 2 ** dim
     nud_l = nvc * dim
     levels = hier.levels
@@ -286,37 +343,45 @@ def build_level_ops(hier: GalerkinHierarchy, jac_fine, ca_fine, active,
         n_p = int(lvl.dirichlet_p.shape[0])
         n_ud = n_p * dim
         act_l = active[lvl.inject_p]
-        free_u = ~lvl.dirichlet_u
-        free_p = ~(lvl.dirichlet_p | act_l)
+        hang_u = _hang_of(lvl.con, "u")
+        hang_p = _hang_of(lvl.con, "p")
+        free_u = ~(lvl.dirichlet_u | lvl.con.hang_mask_u)
+        free_p = ~(lvl.dirichlet_p | lvl.con.hang_mask_p | act_l)
         du, dp = assembled.diagonals(jac, _GatherView(lvl.gather_u,
                                                       lvl.gather_p),
                                      n_ud, n_p, dim=dim)
         Dinv_u = jnp.where(free_u & (jnp.abs(du) > 0), 1.0 / du, 1.0)
         Dinv_p = jnp.where(free_p & (jnp.abs(dp) > 0), 1.0 / dp, 1.0)
         lam_u = _gershgorin_lambda_max(jac, lvl.gather_u, free_u,
-                                       Dinv_u, 0, nud_l)
+                                       Dinv_u, 0, nud_l, hang_u)
         lam_p = _gershgorin_lambda_max(jac, lvl.gather_p, free_p,
-                                       Dinv_p, nud_l, nud_l + nvc)
+                                       Dinv_p, nud_l, nud_l + nvc,
+                                       hang_p)
         out.append(_LevelOps(jac, lvl.gather_u, lvl.gather_p, free_u,
                              free_p, Dinv_u, Dinv_p, lam_u, lam_p,
                              lvl.up_masters_u,
                              lvl.up_weights_u.astype(jac.dtype),
                              lvl.up_masters_p,
-                             lvl.up_weights_p.astype(jac.dtype)))
+                             lvl.up_weights_p.astype(jac.dtype),
+                             hang_u, hang_p))
 
     # finest level
-    free_u_f = ~(dirichlet_u_f | hang_mask_u_f)
-    free_p_f = ~(dirichlet_p_f | hang_mask_p_f | active)
+    hang_u_f = _hang_of(con_f, "u")
+    hang_p_f = _hang_of(con_f, "p")
+    free_u_f = ~(con_f.dirichlet_u | con_f.hang_mask_u)
+    free_p_f = ~(con_f.dirichlet_p | con_f.hang_mask_p | active)
+    n_ud_f = int(con_f.dirichlet_u.shape[0])
+    n_p_f = int(con_f.dirichlet_p.shape[0])
     du, dp = assembled.diagonals(jac_fine, ca_fine, n_ud_f, n_p_f, dim=dim)
     Dinv_u = jnp.where(free_u_f & (jnp.abs(du) > 0), 1.0 / du, 1.0)
     Dinv_p = jnp.where(free_p_f & (jnp.abs(dp) > 0), 1.0 / dp, 1.0)
     lam_u = _gershgorin_lambda_max(jac_fine, ca_fine.gather_u, free_u_f,
-                                   Dinv_u, 0, nud_l)
+                                   Dinv_u, 0, nud_l, hang_u_f)
     lam_p = _gershgorin_lambda_max(jac_fine, ca_fine.gather_p, free_p_f,
-                                   Dinv_p, nud_l, nud_l + nvc)
+                                   Dinv_p, nud_l, nud_l + nvc, hang_p_f)
     out.append(_LevelOps(jac_fine, ca_fine.gather_u, ca_fine.gather_p,
                          free_u_f, free_p_f, Dinv_u, Dinv_p, lam_u, lam_p,
-                         None, None, None, None))
+                         None, None, None, None, hang_u_f, hang_p_f))
     return tuple(out)
 
 
@@ -343,11 +408,12 @@ def make_vcycle(level_ops: tuple, *, dim: int, which: str,
         free = lv.free_u if which == "u" else lv.free_p
         Dinv = lv.Dinv_u if which == "u" else lv.Dinv_p
         lam = lv.lam_u if which == "u" else lv.lam_p
-        op = _masked_op(lv.jac, gather, free, lo, hi)
-        return lv, gather, free, Dinv, lam, op
+        hang = lv.hang_u if which == "u" else lv.hang_p
+        op = _masked_op(lv.jac, gather, free, lo, hi, hang)
+        return lv, gather, free, Dinv, lam, op, hang
 
     # coarsest dense factor (built lazily on first call inside jit trace)
-    lv0, gather0, free0, Dinv0, lam0, op0 = level_pieces(0)
+    lv0, gather0, free0, Dinv0, lam0, op0, hang0 = level_pieces(0)
     n0 = free0.shape[0]
 
     def coarse_dense():
@@ -359,8 +425,17 @@ def make_vcycle(level_ops: tuple, *, dim: int, which: str,
         cols = jnp.broadcast_to(g[None, :, :], (ndl_b, ndl_b, g.shape[1]))
         A0 = jnp.zeros((n0, n0), lv0.jac.dtype)
         A0 = A0.at[rows.reshape(-1), cols.reshape(-1)].add(A.reshape(-1))
-        # constrained dofs -> identity rows/cols
         m = free0
+        # condense hanging constraints with a dense C (rows: children
+        # from masters; constrained columns dropped), then identity on
+        # constrained dofs
+        child0, masters0, weights0 = hang0
+        if child0.shape[0]:
+            C = jnp.diag(m.astype(A0.dtype))
+            C = C.at[child0[:, None], masters0].add(
+                weights0.astype(A0.dtype))
+            C = C * m[None, :].astype(A0.dtype)
+            A0 = C.T @ (A0 @ C)
         A0 = jnp.where(m[:, None] & m[None, :], A0, 0.0)
         A0 = A0 + jnp.diag(jnp.where(m, 0.0, 1.0))
         # The degraded crack strip gives A0 a coefficient contrast of
@@ -376,7 +451,7 @@ def make_vcycle(level_ops: tuple, *, dim: int, which: str,
     cho, cho_scale = coarse_dense()
 
     def cycle(l, b):
-        lv, gather, free, Dinv, lam, op = level_pieces(l)
+        lv, gather, free, Dinv, lam, op, hang = level_pieces(l)
         b = jnp.where(free, b, 0.0)
         if l == 0:
             bs = cho_scale * b.astype(jnp.float64)
@@ -388,10 +463,14 @@ def make_vcycle(level_ops: tuple, *, dim: int, which: str,
         lvc = level_ops[l - 1]
         mast = lvc.up_masters_u if which == "u" else lvc.up_masters_p
         wts = lvc.up_weights_u if which == "u" else lvc.up_weights_p
+        hang_c = lvc.hang_u if which == "u" else lvc.hang_p
         n_c = (lvc.free_u if which == "u" else lvc.free_p).shape[0]
-        r_c = _restrict(r, mast, wts, n_c)
+        # restriction through the coarse level's constraints: the
+        # transpose of (distribute on coarse, then interpolate up)
+        r_c = _htranspose(_restrict(r, mast, wts, n_c), hang_c)
         e_c = cycle(l - 1, r_c)
-        x = x + jnp.where(free, _prolong(e_c, mast, wts), 0.0)
+        e_full = _hinterp(e_c, hang_c)
+        x = x + jnp.where(free, _prolong(e_full, mast, wts), 0.0)
         r = b - op(x)
         x = x + _chebyshev(op, Dinv, r, lam, degree)
         return x
@@ -457,10 +536,7 @@ def solve_newton_system(u, phi, phi_old, phi_oold, ca64, sc, levels,
         return condense_residual(-ju, -jp, con, active)
 
     hier = GalerkinHierarchy(levels=levels, P_embed=P_embed, dim=dim)
-    level_ops = build_level_ops(
-        hier, jac32, ca64, active, con.dirichlet_u, con.dirichlet_p,
-        con.hang_mask_u, con.hang_mask_p,
-        con.dirichlet_u.shape[0], con.dirichlet_p.shape[0], dim=dim)
+    level_ops = build_level_ops(hier, jac32, ca64, active, con, dim=dim)
     nvc = 2 ** dim
     nud_l = nvc * dim
     eps64 = float(jnp.finfo(jnp.float64).eps)
@@ -472,11 +548,12 @@ def solve_newton_system(u, phi, phi_old, phi_oold, ca64, sc, levels,
         fin = level_ops[-1]
         gather = fin.gather_u if which == "u" else fin.gather_p
         free = fin.free_u if which == "u" else fin.free_p
+        hang = fin.hang_u if which == "u" else fin.hang_p
         if which == "u":
             op = lambda x: op64_both(x, zero_p)[0]
         else:
             op = lambda x: op64_both(zero_u, x)[1]
-        op32 = _masked_op(jac32, gather, free, lo, hi)
+        op32 = _masked_op(jac32, gather, free, lo, hi, hang)
         M32 = make_vcycle(level_ops, dim=dim, which=which, degree=degree)
         bnorm = jnp.sqrt(jnp.vdot(b, b).real)
         target2 = jnp.maximum(rtol * bnorm, 100.0 * eps64 * bnorm) ** 2
@@ -566,14 +643,10 @@ def solve_newton_system(u, phi, phi_old, phi_oold, ca64, sc, levels,
 # ---------------------------------------------------------------------------
 
 @partial(jax.jit, static_argnames=("dim",))
-def _build_ops(levels, P_embed, jac_fine, ca_fine, active,
-               dirichlet_u, dirichlet_p, hang_mask_u, hang_mask_p,
+def _build_ops(levels, P_embed, jac_fine, ca_fine, active, con,
                *, dim: int):
     hier = GalerkinHierarchy(levels=levels, P_embed=P_embed, dim=dim)
-    return build_level_ops(hier, jac_fine, ca_fine, active, dirichlet_u,
-                           dirichlet_p, hang_mask_u, hang_mask_p,
-                           dirichlet_u.shape[0], dirichlet_p.shape[0],
-                           dim=dim)
+    return build_level_ops(hier, jac_fine, ca_fine, active, con, dim=dim)
 
 
 @partial(jax.jit, static_argnames=("dim", "which", "chunk", "degree",
@@ -595,10 +668,11 @@ def _cg_chunk(level_ops, jac64, gather64, state, tol2, *, dim: int,
     fin = level_ops[-1]
     gather = fin.gather_u if which == "u" else fin.gather_p
     free = fin.free_u if which == "u" else fin.free_p
+    hang = fin.hang_u if which == "u" else fin.hang_p
     if f64_op:
-        op = _masked_op(jac64, gather64, free, lo, hi)
+        op = _masked_op(jac64, gather64, free, lo, hi, hang)
     else:
-        op = _masked_op(fin.jac, gather, free, lo, hi)
+        op = _masked_op(fin.jac, gather, free, lo, hi, hang)
     M32 = make_vcycle(level_ops, dim=dim, which=which, degree=degree)
     vdtype = jac64.dtype if f64_op else fin.jac.dtype
     M = (lambda r: M32(r.astype(fin.jac.dtype)).astype(vdtype)) \
@@ -651,8 +725,7 @@ def solve_cg_block(hier: GalerkinHierarchy, jac_fine, ca_fine, con,
 
     Returns (du, dp, iters) on the FREE subspace."""
     level_ops = _build_ops(hier.levels, hier.P_embed, jac_fine, ca_fine,
-                           active, con.dirichlet_u, con.dirichlet_p,
-                           con.hang_mask_u, con.hang_mask_p, dim=dim)
+                           active, con, dim=dim)
     f64_op = jac64 is not None
     if not f64_op:
         jac64 = jac_fine
@@ -670,7 +743,9 @@ def solve_cg_block(hier: GalerkinHierarchy, jac_fine, ca_fine, con,
         lo, hi = (0, nud_l) if which == "u" else (nud_l, nud_l + nvc)
         fin_free = (level_ops[-1].free_u if which == "u"
                     else level_ops[-1].free_p)
-        op64 = _masked_op(jac64, gather64, fin_free, lo, hi)
+        fin_hang = (level_ops[-1].hang_u if which == "u"
+                    else level_ops[-1].hang_p)
+        op64 = _masked_op(jac64, gather64, fin_free, lo, hi, fin_hang)
         bnorm = float(jnp.sqrt(jnp.vdot(b, b).real))
         # overall target, floored at ~100 eps relative (below that CG
         # stagnates on rounding noise while the iterate drifts)
