@@ -295,19 +295,50 @@ def _fused_active_set_update(u, phi, phi_old, phi_oold, tot_p, active_old,
             n_active, n_cycling, changed, left)
 
 
-@partial(jax.jit, static_argnames=("dim", "with_split"))
-def _fused_trial(u, phi, du, dp, phi_old, phi_oold, active, ca, sc, con,
-                 *, dim, with_split):
-    """One dispatch per line-search trial: step, assemble, condense, norm
-    (cracks.cc:2944-2949)."""
-    u = u + du
-    phi = phi + dp
-    ru, rp = physics.assemble_residual(
-        u, phi, phi_old, phi_oold, ca, sc,
-        dim=dim, with_split=with_split, monolithic=False)
-    tot_p = hanging_transpose_p(rp, con)
-    pde_u, pde_p = condense_residual(ru, rp, con, active)
-    return u, phi, tot_p, pde_u, pde_p, residual_norm(pde_u, pde_p)
+@partial(jax.jit, static_argnames=("dim", "with_split", "max_steps"))
+def _fused_line_search(u, phi, du, dp, phi_old, phi_oold, active, ca, sc,
+                       con, res0, damping, *, dim, with_split,
+                       max_steps):
+    """The WHOLE backtracking line search in one dispatch
+    (cracks.cc:2940-2957): trial k steps by du * damping^k; accept the
+    first trial whose residual decreases.  Mirrors the reference's
+    bookkeeping exactly — on total failure the solution is restored but
+    the assembled residual (tot_p/pde) remains the last trial's (the
+    reference leaves the member residual from the final assemble).
+
+    Fusing the trials matters in the PDAS tail: iterations at the
+    residual floor can burn all max_steps trials, each a full f64
+    element sweep — one dispatch instead of max_steps round trips
+    through the TPU tunnel."""
+    def trial(k):
+        scale = damping ** k
+        ut = u + du * scale
+        pt = phi + dp * scale
+        ru, rp = physics.assemble_residual(
+            ut, pt, phi_old, phi_oold, ca, sc,
+            dim=dim, with_split=with_split, monolithic=False)
+        tot_p = hanging_transpose_p(rp, con)
+        pde_u, pde_p = condense_residual(ru, rp, con, active)
+        return ut, pt, tot_p, pde_u, pde_p, residual_norm(pde_u, pde_p)
+
+    first = trial(jnp.asarray(0.0, u.dtype))
+
+    def cond(s):
+        k, accepted = s[0], s[1]
+        return (~accepted) & (k < max_steps - 1)
+
+    def body(s):
+        k = s[0]
+        out = trial((k + 1).astype(u.dtype))
+        accepted = out[5] < res0
+        return (k + 1, accepted) + out
+
+    s0 = (jnp.asarray(0, jnp.int32), first[5] < res0) + first
+    k, accepted, ut, pt, tot_p, pde_u, pde_p, res = \
+        jax.lax.while_loop(cond, body, s0)
+    u_out = jnp.where(accepted, ut, u)
+    phi_out = jnp.where(accepted, pt, phi)
+    return u_out, phi_out, tot_p, pde_u, pde_p, res, k
 
 
 def newton_active_set(sys, state, time: float, verbose: bool = True):
@@ -382,20 +413,17 @@ def newton_active_set(sys, state, time: float, verbose: bool = True):
                                con, active, pde_u, pde_p, with_split)
         sum_lin_it += n_lin
 
-        # ---- line search (cracks.cc:2940-2957) ----
-        saved_u, saved_phi = u, phi
-        line_search_step = 0
-        for line_search_step in range(p.max_no_line_search_steps):
-            u, phi, tot_p, pde_u, pde_p, res_d = _fused_trial(
-                u, phi, du, dp, state.phi_old, state.phi_oold, active,
-                sys.ca, sys.scalars, con, dim=sys.dim,
-                with_split=with_split)
-            new_newton_residual = float(res_d)
-            if new_newton_residual < newton_residual:
-                break
-            u, phi = saved_u, saved_phi
-            du = du * p.line_search_damping
-            dp = dp * p.line_search_damping
+        # ---- line search, one dispatch for all trials
+        #      (cracks.cc:2940-2957) ----
+        u, phi, tot_p, pde_u, pde_p, res_d, ls_d = _fused_line_search(
+            u, phi, du, dp, state.phi_old, state.phi_oold, active,
+            sys.ca, sys.scalars, con,
+            jnp.asarray(newton_residual), p.line_search_damping,
+            dim=sys.dim, with_split=with_split,
+            max_steps=max(1, p.max_no_line_search_steps))
+        res_h, ls_h = jax.device_get((res_d, ls_d))
+        new_newton_residual = float(res_h)
+        line_search_step = int(ls_h)
 
         log.print_line(
             newton_step + 1, n_active, n_cycling_dofs,
