@@ -69,11 +69,13 @@ class System:
         one_chip = params.n_devices == 1
         self.ca = physics.build_cell_arrays(mesh, lam, mu, dtype=dtype,
                                             chunk=one_chip)
-        self.ca32 = None
-        if params.mixed_precision_cg and dtype == jnp.float64:
-            self.ca32 = physics.build_cell_arrays(mesh, lam, mu,
-                                                  dtype=jnp.float32,
-                                                  chunk=one_chip)
+        # mixed-precision flag; the f32 cell arrays themselves are built
+        # lazily (the lattice fast path carries its own raster-ordered
+        # f32 arrays and never touches ca32 — at refine-6 sizes the
+        # eager build cost minutes of host/transfer time)
+        self.mixed_precision = (params.mixed_precision_cg
+                                and dtype == jnp.float64)
+        self._ca32 = None
         if params.n_devices > 1:
             # SPMD domain decomposition: shard the element arrays over the
             # device mesh; XLA's partitioner parallelizes the jitted
@@ -101,6 +103,18 @@ class System:
         # mesh-dependent regularization (set by the driver)
         self.constant_k = 0.0
         self.alpha_eps = 0.0
+
+    @property
+    def ca32(self):
+        """Lazily built f32 cell arrays for the mixed-precision
+        Krylov paths (None when mixed precision is off)."""
+        if not self.mixed_precision:
+            return None
+        if self._ca32 is None:
+            self._ca32 = physics.build_cell_arrays(
+                self.mesh, self.lam_cells, self.mu_cells,
+                dtype=jnp.float32, chunk=self.params.n_devices == 1)
+        return self._ca32
 
     def constraints(self, time: float) -> Constraints:
         # masks are time-independent; Newton-update constraints are
@@ -217,7 +231,7 @@ class Simulation:
                     p, m, 0.0, initial_step=False)
                 return mu_, mp_
 
-            if p.assembled_matvec and self.sys.ca32 is not None:
+            if p.assembled_matvec and self.sys.mixed_precision:
                 # tensor-grid (monolattice) fast path: gather-free
                 # Krylov loop on uniformly refined rect/cube meshes
                 # (solvers/lattice.py), 2d and 3d.  Multi-chip runs

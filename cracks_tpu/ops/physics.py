@@ -579,14 +579,14 @@ def jacobi_diagonal_approx(u, phi, phi_old, phi_oold, ca: CellArrays,
     return du, dp
 
 
-def build_cell_arrays(mesh, lam, mu, dtype=jnp.float64,
-                      chunk: bool = True) -> CellArrays:
-    """Precompute the per-cell geometry tables for a MeshData (host).
+def build_cell_arrays_host(mesh, lam, mu):
+    """Host (numpy) per-cell geometry tables, cell axis last.
 
-    With chunk=True (default) and > CELL_CHUNK cells, a chunk-major
-    duplicate (CellArrays.chunked) is attached for scan-based element
-    sweeps; pass chunk=False for cell arrays that will be sharded across
-    devices (the SPMD path splits the cell axis itself)."""
+    Returns (gather_u, gather_p, JxW, grads, shape_v, lam, mu,
+    inv_diam2) as numpy arrays — the common precursor of
+    build_cell_arrays and the lattice's raster-permuted variant (which
+    must permute on host BEFORE any device transfer: pulling the arrays
+    back through the TPU tunnel costs minutes at refine-6 sizes)."""
     from ..fem import cell_geometry
 
     t = element_tables(mesh.dim)
@@ -600,9 +600,15 @@ def build_cell_arrays(mesh, lam, mu, dtype=jnp.float64,
     gather_p = c2v.T
     lam_arr = np.broadcast_to(np.asarray(lam, dtype=np.float64), (n_c,))
     mu_arr = np.broadcast_to(np.asarray(mu, dtype=np.float64), (n_c,))
-    JxW_T = JxW.T
-    grads_T = np.transpose(grads, (1, 2, 3, 0))
-    inv_diam2 = 1.0 / mesh.diameters**2
+    return (gather_u, gather_p, JxW.T, np.transpose(grads, (1, 2, 3, 0)),
+            t.shape_v, lam_arr, mu_arr, 1.0 / mesh.diameters**2)
+
+
+def cell_arrays_from_host(host, dtype=jnp.float64,
+                          chunk: bool = True) -> CellArrays:
+    """Device CellArrays from build_cell_arrays_host output."""
+    (gather_u, gather_p, JxW_T, grads_T, shape_v, lam_arr, mu_arr,
+     inv_diam2) = host
     chunked = None
     if chunk:
         chunked = make_chunked(gather_u, gather_p, JxW_T, grads_T,
@@ -612,9 +618,21 @@ def build_cell_arrays(mesh, lam, mu, dtype=jnp.float64,
         gather_p=jnp.asarray(gather_p, dtype=jnp.int32),
         JxW=jnp.asarray(JxW_T, dtype=dtype),
         grads=jnp.asarray(grads_T, dtype=dtype),
-        shape_v=jnp.asarray(t.shape_v, dtype=dtype),
+        shape_v=jnp.asarray(shape_v, dtype=dtype),
         lam=jnp.asarray(lam_arr, dtype=dtype),
         mu=jnp.asarray(mu_arr, dtype=dtype),
         inv_diam2=jnp.asarray(inv_diam2, dtype=dtype),
         chunked=chunked,
     )
+
+
+def build_cell_arrays(mesh, lam, mu, dtype=jnp.float64,
+                      chunk: bool = True) -> CellArrays:
+    """Precompute the per-cell geometry tables for a MeshData (host).
+
+    With chunk=True (default) and > CELL_CHUNK cells, a chunk-major
+    duplicate (CellArrays.chunked) is attached for scan-based element
+    sweeps; pass chunk=False for cell arrays that will be sharded across
+    devices (the SPMD path splits the cell axis itself)."""
+    return cell_arrays_from_host(build_cell_arrays_host(mesh, lam, mu),
+                                 dtype=dtype, chunk=chunk)

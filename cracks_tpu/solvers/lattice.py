@@ -153,14 +153,18 @@ def permuted_cell_arrays(mesh, lam, mu, lay: LatticeLayout,
     """CellArrays with cells in lattice raster order, so the element
     matrices come out of physics.element_matrices already reshapable to
     (ndl, ndl, *cellgrid).  chunk=False skips the scan duplicate (used
-    when the cell axis will be sharded across devices instead)."""
-    ca = physics.build_cell_arrays(mesh, lam, mu, dtype=dtype,
-                                   chunk=False)
+    when the cell axis will be sharded across devices instead).
+
+    The permutation happens entirely on HOST numpy (never build device
+    arrays and pull them back — at refine-6 sizes those tunnel
+    transfers cost minutes)."""
+    (g_u, g_p, JxW, grads, shape_v, lam_, mu_,
+     invd2) = physics.build_cell_arrays_host(mesh, lam, mu)
     p = lay.cell_perm
-    take = lambda a: np.asarray(a)[..., p]
-    g_u, g_p = take(ca.gather_u), take(ca.gather_p)
-    JxW, grads = take(ca.JxW), take(ca.grads)
-    lam_, mu_, invd2 = take(ca.lam), take(ca.mu), take(ca.inv_diam2)
+    take = lambda a: np.ascontiguousarray(a[..., p])
+    g_u, g_p = take(g_u), take(g_p)
+    JxW, grads = take(JxW), take(grads)
+    lam_, mu_, invd2 = take(lam_), take(mu_), take(invd2)
     chunked = None
     if chunk:
         chunked = physics.make_chunked(g_u, g_p, JxW, grads, lam_, mu_,
@@ -168,7 +172,7 @@ def permuted_cell_arrays(mesh, lam, mu, lay: LatticeLayout,
     j = lambda a, dt=dtype: jnp.asarray(a, dtype=dt)
     return physics.CellArrays(
         gather_u=j(g_u, jnp.int32), gather_p=j(g_p, jnp.int32),
-        JxW=j(JxW), grads=j(grads), shape_v=ca.shape_v,
+        JxW=j(JxW), grads=j(grads), shape_v=j(shape_v),
         lam=j(lam_), mu=j(mu_), inv_diam2=j(invd2), chunked=chunked)
 
 

@@ -68,7 +68,7 @@ def _solve(sys, u, phi, phi_old, phi_oold, con, active, rhs_u, rhs_p,
         except RuntimeError:
             pass  # exactly singular factor -> CG below
     if (p.assembled_matvec
-            and getattr(sys, "ca32", None) is not None
+            and getattr(sys, "mixed_precision", False)
             and getattr(sys, "lattice_hierarchy", None) is not None):
         # tensor-grid monolattice fused solve: gather-free Krylov loop
         # (solvers/lattice.py)
@@ -98,7 +98,7 @@ def _solve(sys, u, phi, phi_old, phi_oold, con, active, rhs_u, rhs_p,
     du = dp = None
     bnorm0 = float(jnp.sqrt(jnp.vdot(rhs_u, rhs_u).real
                             + jnp.vdot(rhs_p, rhs_p).real))
-    if getattr(sys, "ca32", None) is not None:
+    if getattr(sys, "mixed_precision", False):
         # mixed precision via iterative refinement: a capped f32 Krylov
         # pass takes the cheap iterations; the f64 correction solve below
         # finishes to the requested tolerance (f32 CG stagnates at its
@@ -177,7 +177,7 @@ def _solve_assembled(sys, u, phi, phi_old, phi_oold, con, active,
             jac_, ca_, con_, active_, bu, bp, d_u, d_p, rtol, atol,
             dim=sys.dim, maxiter=maxiter, chunk=p.cg_chunk)
 
-    if getattr(sys, "ca32", None) is not None and ghier is not None:
+    if getattr(sys, "mixed_precision", False) and ghier is not None:
         # ONE device dispatch for the whole solve: f64 element-Jacobian
         # build, f32 Galerkin V-cycle preconditioner, f64 CG with
         # restarted refinement passes (galerkin.solve_newton_system).
@@ -193,7 +193,7 @@ def _solve_assembled(sys, u, phi, phi_old, phi_oold, con, active,
         du, dp = expand_update(du, dp, con, active)
         return du, dp, total_its
 
-    if getattr(sys, "ca32", None) is not None:
+    if getattr(sys, "mixed_precision", False):
         f32 = lambda x: jnp.asarray(x, dtype=jnp.float32)
         con32 = _C(*(f32(v) if v.dtype == jnp.float64 else v for v in con))
         sc32 = physics.Scalars(*(f32(v) for v in sys.scalars))

@@ -48,6 +48,7 @@ CONFIGS = {
 CASES = {
     "shear2": ("miehe_shear_2.prm", dict(), 19),   # softening from row 19
     "hetero3d": ("hetero_3d_1.prm", dict(), 1),    # softening-ish row 1+
+    "threepoint": ("threepoint_1.prm", dict(), 7),  # crack grows at 7-8
 }
 
 

@@ -31,12 +31,15 @@ def test_sneddon_3d_full(tmp_path):
 @pytest.mark.slow
 def test_hetero_3d_full(tmp_path):
     sim, _ = run_prm(f"{PRM_DIR}/hetero_3d_1.prm", output_dir=str(tmp_path))
-    # Deviation vs golden is systematic (2.7e-3 rel max) and EXACTLY
-    # solver-independent: cg rtol 1e-8, cg rtol 1e-11 and the sparse
-    # direct solver all reproduce identical statistics (scatter
-    # experiment, round 2), so the 2e-2 absolute override of round 1
-    # was unnecessary — numdiff atol + 5e-3 rel covers it.
+    # Deviation vs golden is systematic (Bulk Energy 2.713e-3 rel max,
+    # Crack Energy 1.9e-6) and EXACTLY solver-independent: the
+    # four-config knob study (cg rtol 1e-8 mixed / 1e-10 f64 / jacobi /
+    # on-device direct) reproduces IDENTICAL statistics to the 8-digit
+    # print precision (scripts/scatter_hetero3d.json, round 3) — the
+    # gap is a cross-implementation discretization difference (FE
+    # quadrature/arithmetic), not solver noise.  Override tightened to
+    # the measured gap + margin: 3e-3 rel (was 5e-3 in round 2).
     compare_statistics(
         sim.statistics.write_text(), "hetero_3d_1.mpirun-4.statistics",
-        col_overrides={"Energy": (1e-6, 5e-3)})
+        col_overrides={"Energy": (1e-6, 3e-3)})
     assert sim.mesh.n_dofs == 5288

@@ -34,7 +34,15 @@ def test_shear2_full(tmp_path):
     sim, _ = run_prm(f"{PRM_DIR}/miehe_shear_2.prm", output_dir=str(tmp_path))
     # pre-peak steps (0-18) match within the reference's own numdiff
     # tolerances; the softening branch (19-24) is path-sensitive in the
-    # non-convex regime — converged loads agree to 5e-4 relative.
+    # non-convex regime.  The overrides are backed by the measured
+    # intra-implementation solver-knob scatter (four configs: cg 1e-8
+    # mixed / cg 1e-10 f64 / jacobi / on-device direct,
+    # scripts/scatter_shear2.json, round 3): softening-branch spread is
+    # 9.6e-4 rel (Bulk Energy), 6.5e-4 (Crack), 1.26e-3 (Load x) —
+    # i.e. the same 1e-3 band as the override; pre-peak spread is
+    # <= 2e-6 rel on Load (covered by the numdiff tolerances) and the
+    # early Crack Energy rel spread (1.6e-2) sits on a ~1e-4 absolute
+    # scale, covered by the 1e-3 absolute floor.
     compare_statistics(
         sim.statistics.write_text(), "miehe_shear_2.statistics",
-        col_overrides={"Energy": (1e-3, 1e-3), "Load": (1e-6, 1e-3)})
+        col_overrides={"Energy": (1e-3, 1e-3), "Load": (1e-6, 1.3e-3)})

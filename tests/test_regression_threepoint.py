@@ -23,8 +23,14 @@ def test_threepoint_prefix(tmp_path):
 @pytest.mark.slow
 def test_threepoint_full(tmp_path):
     sim, _ = run_prm(f"{PRM_DIR}/threepoint_1.prm", output_dir=str(tmp_path))
-    # crack growth at steps 7-8 triggers refinement to 1155/1347 dofs;
-    # the softening values are path-sensitive like miehe_shear_2
+    # crack growth at steps 7-8 triggers refinement to 1155/1347 dofs.
+    # Measured deviation vs golden (round 3): Energy <= 4.4e-7 rel /
+    # 1.9e-7 abs (inside plain numdiff — no override needed), Load P11
+    # 8.1e-6 rel.  The four-config solver-knob study reproduces
+    # identical statistics to print precision
+    # (scripts/scatter_threepoint.json), so the round-2 2e-3 overrides
+    # were far looser than warranted; Load keeps a 5e-5 rel band for
+    # cross-platform f64 rounding headroom.
     compare_statistics(
         sim.statistics.write_text(), "threepoint_1.mpirun=2.statistics",
-        col_overrides={"Energy": (1e-3, 2e-3), "Load": (1e-6, 2e-3)})
+        col_overrides={"Load": (1e-6, 5e-5)})
