@@ -14,10 +14,12 @@ assembly throughput (~1e5 cells/s/core for this 3x3-quadrature
 vector-valued kernel), scaled linearly in DoFs.
 
 Environment knobs:
-  BENCH_REFINE   global refinements of the 10x10 root grid
-                 (default 5 -> 102400 cells, 309k DoFs; refine 6 =
-                 1.23M DoFs compiles >1h on the tunnel worker and is
-                 not used as the default yet)
+  BENCH_REFINE   global refinements of the root grid (default 5 in 2d
+                 -> 102400 cells, 309k DoFs; refine 6 = 1.23M DoFs,
+                 the BASELINE.json north-star size)
+  BENCH_DIM      2 (default) or 3: 3d runs the Sneddon penny crack on
+                 the octree lattice path (11^3 roots, refine 2 ->
+                 85,184 cells, 364k DoFs by default)
   BENCH_STEPS    timed load steps (default 2)
   BENCH_DTYPE    float64 (default) or float32
   BENCH_PRECOND  gmg (default) or jacobi
@@ -29,10 +31,12 @@ import sys
 import time
 
 
-def _make_params(refine, dtype, precond, n_steps):
+def _make_params(refine, dtype, precond, n_steps, dim=2):
     from cracks_tpu.config import Parameters, load_parameters
+    name = ("parameters_sneddon_2d.prm" if dim == 2
+            else "parameters_sneddon_3d.prm")
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "params", "parameters_sneddon_2d.prm")
+                        "params", name)
     if os.path.exists(path):
         p = load_parameters(path)
     else:
@@ -41,7 +45,7 @@ def _make_params(refine, dtype, precond, n_steps):
                        k_reg_expr="1e-8*h", eps_reg_expr="2.0*h",
                        lower_bound_newton_residual=1e-7,
                        max_no_newton_steps=50,
-                       max_no_line_search_steps=10)
+                       max_no_line_search_steps=10, dimension=dim)
     return p.replace(
         n_global_pre_refine=refine, n_local_pre_refine=0,
         n_refinement_cycles=0, max_no_timesteps=n_steps - 1,
@@ -50,11 +54,11 @@ def _make_params(refine, dtype, precond, n_steps):
         mixed_precision_cg=(os.environ.get("BENCH_MIXED", "1") == "1"))
 
 
-def _run_once(refine, dtype, precond, n_steps):
+def _run_once(refine, dtype, precond, n_steps, dim):
     from cracks_tpu.driver import Simulation
 
     # warmup run (1 step): pays all JIT compilation (persistently cached)
-    p1 = _make_params(refine, dtype, precond, 1)
+    p1 = _make_params(refine, dtype, precond, 1, dim)
     sim = Simulation(p1, verbose=False)
     t0 = time.time()
     sim.run()
@@ -63,7 +67,7 @@ def _run_once(refine, dtype, precond, n_steps):
 
     # timed run: compiles come from the cache, so wall/steps is the
     # steady-state per-step cost (including mesh/setup amortized)
-    p2 = _make_params(refine, dtype, precond, n_steps)
+    p2 = _make_params(refine, dtype, precond, n_steps, dim)
     sim2 = Simulation(p2, verbose=False)
     t0 = time.time()
     sim2.run()
@@ -73,10 +77,14 @@ def _run_once(refine, dtype, precond, n_steps):
 
 
 def main():
-    refine = int(os.environ.get("BENCH_REFINE", "5"))
+    dim = int(os.environ.get("BENCH_DIM", "2"))
+    refine = int(os.environ.get("BENCH_REFINE", "5" if dim == 2 else "2"))
     n_steps = int(os.environ.get("BENCH_STEPS", "2"))
     dtype = os.environ.get("BENCH_DTYPE", "float64")
     precond = os.environ.get("BENCH_PRECOND", "gmg")
+    if dim == 3 and "CRACKS_TPU_SNEDDON_REPS" not in os.environ:
+        # 11^3 roots x refine 2 = 85,184 cells, 364k DoFs (>= 300k)
+        os.environ["CRACKS_TPU_SNEDDON_REPS"] = "11"
 
     # the shared TPU worker occasionally crashes/restarts under
     # sustained load; retry, then fall back to a smaller problem
@@ -86,7 +94,8 @@ def main():
         if pause:
             time.sleep(pause)
         try:
-            n_dofs, warm, wall, bulk = _run_once(r, dtype, precond, n_steps)
+            n_dofs, warm, wall, bulk = _run_once(r, dtype, precond,
+                                                 n_steps, dim)
             break
         except Exception as e:  # worker crash -> retry / shrink
             last_err = e
@@ -98,14 +107,14 @@ def main():
 
     baseline_s_per_step = 15.0 * (n_dofs / 3.0e5)  # see module docstring
     result = {
-        "metric": f"sneddon2d_{n_dofs}dofs_seconds_per_load_step",
+        "metric": f"sneddon{dim}d_{n_dofs}dofs_seconds_per_load_step",
         "value": round(per_step, 3),
         "unit": "s",
         "vs_baseline": round(baseline_s_per_step / per_step, 3),
     }
     print(json.dumps(result))
-    print(f"# dofs={n_dofs} steps={n_steps} dtype={dtype} precond={precond} "
-          f"warmup={warm:.1f}s timed={wall:.1f}s "
+    print(f"# dim={dim} dofs={n_dofs} steps={n_steps} dtype={dtype} "
+          f"precond={precond} warmup={warm:.1f}s timed={wall:.1f}s "
           f"bulk_energy={bulk:.6e}", file=sys.stderr)
 
 

@@ -157,9 +157,13 @@ def _setup_coarse_mesh(p: Parameters) -> meshio.CoarseMesh:
     if case in ("miehe tension", "miehe shear"):
         return meshio.read_ucd(os.path.join(mesh_dir, "unit_slit.inp"), dim=2)
     if case == "sneddon":
+        # root subdivisions: 10 per axis like the reference
+        # (cracks.cc:1207-1212); overridable for benchmarking odd sizes
+        reps = int(os.environ.get("CRACKS_TPU_SNEDDON_REPS", "10"))
         if p.dimension == 2:
-            return meshio.rect_mesh([-10, -10], [10, 10])
-        return meshio.rect_mesh([-10, -10, -10], [10, 10, 10])
+            return meshio.rect_mesh([-10, -10], [10, 10], [reps, reps])
+        return meshio.rect_mesh([-10, -10, -10], [10, 10, 10],
+                                [reps, reps, reps])
     if case in ("multiple homo", "multiple het"):
         if p.dimension == 2:
             return meshio.read_ucd(os.path.join(mesh_dir, "unit_square_4.inp"), dim=2)
