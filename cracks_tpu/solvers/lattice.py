@@ -600,22 +600,28 @@ def _pass_setup(fin_free, vert_pos, r_g, rtol, target2, *, grid, which,
     R0 = _to_lat((r_g * inv_scale).astype(jnp.float32), vert_pos, grid,
                  k)
     R0 = jnp.where(fin_free, R0, 0.0)
-    # pass target 1e-6 relative: the f32 V-cycle-preconditioned CG
-    # reaches it reliably on the normalized system, and a deeper pass
-    # halves the number of restarts (each restart costs a ~0.2 s f64
-    # exact-residual application)
+    # pass target 3e-7 relative on the NORMALIZED system: each f64
+    # refinement restart costs a full matrix-free f64 Jacobian
+    # application (~2.3 s at 1.23M DoFs), so the f32 pass digs as deep
+    # as single precision allows; the stagnation guard in _cg_pass32
+    # exits early when the f32 floor is above the target
     tol2 = jnp.asarray(
-        jnp.maximum(jnp.maximum(rtol, 1e-6) ** 2,
+        jnp.maximum(jnp.maximum(rtol, 3e-7) ** 2,
                     jnp.where(rr0 > 0, target2 / rr0, 1.0)), jnp.float32)
     return R0, scale, tol2, rr0
 
 
 @partial(jax.jit, static_argnames=("grid", "which", "dim", "degree",
-                                   "inner_max"))
+                                   "inner_max", "stall_window"))
 def _cg_pass32(levels, coarse32, fine_pad, R0, tol2, *, grid, which,
-               dim, degree=2, inner_max=96):
+               dim, degree=2, inner_max=192, stall_window=16):
     """One float32 lattice-GMG CG pass on the normalized lattice
-    residual; returns (best iterate, inner iterations), both f32.
+    residual; returns (best iterate, inner iterations, best rr), f32.
+
+    Exits when the pass target is met, inner_max is reached, or no
+    new best residual appeared within `stall_window` iterations (the
+    f32 arithmetic floor — burning iterations past it wastes ~70 ms
+    each at refine-6 sizes without improving the iterate).
 
     This computation is ALL-f32 by construction (inputs f32/bool, i32
     counter, f32 coarse factor), so the Pallas stencil kernel can serve
@@ -644,11 +650,11 @@ def _cg_pass32(levels, coarse32, fine_pad, R0, tol2, *, grid, which,
     Z0 = M32(R0)
 
     def cond(s):
-        X, R, Z, Pv, rz, kk, Xb, rrb = s
-        return (rrb > tol2) & (kk < inner_max)
+        X, R, Z, Pv, rz, kk, Xb, rrb, kb = s
+        return (rrb > tol2) & (kk < inner_max) & (kk - kb < stall_window)
 
     def body(s):
-        X, R, Z, Pv, rz, kk, Xb, rrb = s
+        X, R, Z, Pv, rz, kk, Xb, rrb, kb = s
         Ap = op32(Pv)
         denom = jnp.vdot(Pv, Ap)
         alpha = jnp.where(denom != 0, rz / denom, 0.0)
@@ -658,17 +664,18 @@ def _cg_pass32(levels, coarse32, fine_pad, R0, tol2, *, grid, which,
         better = rr < rrb
         Xb = jnp.where(better, X, Xb)
         rrb = jnp.where(better, rr, rrb)
+        kb = jnp.where(better, kk + 1, kb)
         Z = M32(R)
         rz_new = jnp.vdot(R, Z)
         beta = jnp.where(rz != 0, rz_new / rz, 0.0)
         Pv = Z + beta * Pv
-        return X, R, Z, Pv, rz_new, kk + 1, Xb, rrb
+        return X, R, Z, Pv, rz_new, kk + 1, Xb, rrb, kb
 
     s0 = (jnp.zeros_like(R0), R0, Z0, Z0, jnp.vdot(R0, Z0),
           jnp.asarray(0, jnp.int32), jnp.zeros_like(R0),
-          jnp.asarray(1.0, jnp.float32))
+          jnp.asarray(1.0, jnp.float32), jnp.asarray(0, jnp.int32))
     s = jax.lax.while_loop(cond, body, s0)
-    return s[6], s[5]
+    return s[6], s[5], s[7]
 
 
 @partial(jax.jit, static_argnames=("which", "dim", "with_split",
@@ -758,8 +765,9 @@ def _solve_split(sys, hier: LatticeHierarchy, u, phi, phi_old, phi_oold,
                                     rtol, target2_d, grid=grid,
                                     which=which, dim=sys.dim)
             R0, scale_d, tol2, _rr0 = setup
-            Xb, k_d = _cg_pass32(levels, coarse32, fine_pad, R0, tol2,
-                                 grid=grid, which=which, dim=sys.dim)
+            Xb, k_d, _rrb = _cg_pass32(levels, coarse32, fine_pad, R0,
+                                       tol2, grid=grid, which=which,
+                                       dim=sys.dim)
             x_try, r_try, rr_try_d, jp_d = _pass_apply(
                 Xb, scale_d, hier.vert_pos, x_acc, b, u, phi, phi_old,
                 phi_oold, sys.ca, sys.scalars, con, active, which=which,
