@@ -97,12 +97,31 @@ class System:
         self.galerkin_hierarchy = None
         self.lattice_hierarchy = None
         self.lattice_ca32 = None
+        self._lattice_lay = None
+        self._lattice_ca64 = None
         # context (set by the driver before each nonlinear solve)
         self.scalars: physics.Scalars = None
         self.with_split: bool = False
         # mesh-dependent regularization (set by the driver)
         self.constant_k = 0.0
         self.alpha_eps = 0.0
+
+    @property
+    def lattice_ca64(self):
+        """Lazily built f64 raster-ordered cell arrays — source of the
+        exact stored-f64 element matrices used by the split-dispatch
+        lattice solve's refinement operator (lattice._prepare64)."""
+        if self._lattice_ca64 is None and self._lattice_lay is not None:
+            from .solvers import lattice
+            caL = lattice.permuted_cell_arrays(
+                self.mesh, self.lam_cells, self.mu_cells,
+                self._lattice_lay, dtype=jnp.float64,
+                chunk=self.params.n_devices == 1)
+            if self._device_mesh is not None:
+                from .parallel import sharding as _sh
+                caL = _sh.shard_cell_arrays_nopad(caL, self._device_mesh)
+            self._lattice_ca64 = caL
+        return self._lattice_ca64
 
     @property
     def ca32(self):
@@ -249,6 +268,7 @@ class Simulation:
                         self.mesh, lay, dirichlet_fn)
                     if hier is not None:
                         self.sys.lattice_hierarchy = hier
+                        self.sys._lattice_lay = lay
                         caL = lattice.permuted_cell_arrays(
                             self.mesh, self.sys.lam_cells,
                             self.sys.mu_cells, lay,

@@ -236,7 +236,12 @@ def coarsen_level(jac_finer, lvl: GLevel, P_embed, n_coarse_cells: int):
     P_embed = P_embed.astype(jac_finer.dtype)
     P = P_embed[lvl.pos_code]                      # (n_cf, ndl, ndl)
     A = jac_finer[:, :, lvl.fine_idx]              # (ndl, ndl, n_cf)
-    C = jnp.einsum("nai,abn,nbj->ijn", P, A, P)
+    # Precision.HIGHEST: the TPU default is one bf16 MXU pass for f32
+    # dot_generals; successive bf16 RAPs can corrupt the coarse chain
+    # into indefiniteness (measured on the lattice path — lattice.py
+    # coarsen).  Runs once per Newton solve.
+    C = jnp.einsum("nai,abn,nbj->ijn", P, A, P,
+                   precision=jax.lax.Precision.HIGHEST)
     out = jnp.zeros((ndl, ndl, n_coarse_cells), jac_finer.dtype)
     return out.at[:, :, lvl.parent_idx].add(C)
 
@@ -446,6 +451,10 @@ def make_vcycle(level_ops: tuple, *, dim: int, which: str,
         A0 = A0.astype(jnp.float64)
         s = 1.0 / jnp.sqrt(jnp.abs(jnp.diagonal(A0)))
         A0s = A0 * s[:, None] * s[None, :]
+        # SPD-safety shift against f32 chain rounding (see lattice.py
+        # _coarse_dense_factor); preconditioner-only, 1e-5 of the unit
+        # diagonal
+        A0s = A0s + 1e-5 * jnp.eye(A0s.shape[0], dtype=A0s.dtype)
         return jax.scipy.linalg.cho_factor(A0s), s
 
     cho, cho_scale = coarse_dense()

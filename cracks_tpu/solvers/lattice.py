@@ -199,18 +199,25 @@ def scatter_windows(Ye, grid):
     return Y
 
 
-def matvec(jacL, X, lo, hi, k):
-    """Masked-free lattice matvec for one block.
+def matvec_block(jacL, X, lo_r, hi_r, lo_c, hi_c, k_in, k_out):
+    """Rectangular lattice block matvec: rows [lo_r, hi_r), columns
+    [lo_c, hi_c) of the local element matrices.
 
-    jacL: (ndl, ndl, *cellgrid); X: (k, *grid) -> (k, *grid).
-    Local dof order inside [lo, hi): corner-major, k comps per corner."""
+    jacL: (ndl, ndl, *cellgrid); X: (k_in, *grid) -> (k_out, *grid).
+    Local dof order inside a block range: corner-major, k comps per
+    corner."""
     G = X.shape[1:]
-    Xe = gather_windows(X)                        # (nvc, k, *cg)
+    Xe = gather_windows(X)                        # (nvc, k_in, *cg)
     nvc = Xe.shape[0]
-    Xf = Xe.reshape((nvc * k,) + Xe.shape[2:])
-    J = jacL[lo:hi, lo:hi]
+    Xf = Xe.reshape((nvc * k_in,) + Xe.shape[2:])
+    J = jacL[lo_r:hi_r, lo_c:hi_c]
     Yf = jnp.einsum("ij...,j...->i...", J, Xf)
-    return scatter_windows(Yf.reshape((nvc, k) + Yf.shape[1:]), G)
+    return scatter_windows(Yf.reshape((nvc, k_out) + Yf.shape[1:]), G)
+
+
+def matvec(jacL, X, lo, hi, k):
+    """Masked-free lattice matvec for one (square) block."""
+    return matvec_block(jacL, X, lo, hi, lo, hi, k, k)
 
 
 def block_diag(jacL, lo, hi, k, grid):
@@ -232,7 +239,15 @@ def gershgorin(jacL, free, Dinv, lo, hi, k, grid):
 
 def coarsen(jacL, P_embed):
     """Galerkin element-RAP one level down on the lattice:
-    (ndl, ndl, *cg) -> (ndl, ndl, *(cg//2))."""
+    (ndl, ndl, *cg) -> (ndl, ndl, *(cg//2)).
+
+    The einsum MUST run at Precision.HIGHEST: the TPU default lowers
+    f32 dot_generals to one bf16 MXU pass (~8 mantissa bits), and six
+    successive bf16 RAPs corrupt the coarse operator enough to make it
+    INDEFINITE (measured at refine-6 step 1: lambda_min = -0.12 on the
+    Jacobi-scaled u-block coarse matrix, host-verified) — the coarse
+    Cholesky then NaNs and the V-cycle returns garbage.  Coarsening
+    runs once per Newton solve, so the cost is immaterial."""
     dim = jacL.ndim - 2
     out = 0.0
     for pos, o in enumerate(_offsets(dim)):
@@ -242,7 +257,8 @@ def coarsen(jacL, P_embed):
             slice(oj, None, 2) for oj in o)
         A = jacL[sl]
         P = P_embed[pos].astype(jacL.dtype)
-        out = out + jnp.einsum("ai,ab...,bj->ij...", P, A, P)
+        out = out + jnp.einsum("ai,ab...,bj->ij...", P, A, P,
+                               precision=jax.lax.Precision.HIGHEST)
     return out
 
 
@@ -441,6 +457,12 @@ def _coarse_dense_factor(lv0: _LOps, lo, hi, k):
     A0 = A0 + jnp.diag(jnp.where(m, 0.0, 1.0))
     s = 1.0 / jnp.sqrt(jnp.abs(jnp.diagonal(A0)))
     A0s = A0 * s[:, None] * s[None, :]
+    # SPD-safety shift (preconditioner only, refinement passes correct
+    # any inexactness): the element chain feeding A0 is f32, so its
+    # rounding can leave lambda_min slightly negative on a unit-diagonal
+    # matrix; a 1e-5 relative shift keeps the (TPU-emulated) Cholesky
+    # finite without measurably changing the preconditioner
+    A0s = A0s + 1e-5 * jnp.eye(n0, dtype=A0s.dtype)
     return jax.scipy.linalg.cho_factor(A0s), s
 
 
@@ -678,36 +700,54 @@ def _cg_pass32(levels, coarse32, fine_pad, R0, tol2, *, grid, which,
     return s[6], s[5], s[7]
 
 
-@partial(jax.jit, static_argnames=("which", "dim", "with_split",
+@partial(jax.jit, static_argnames=("grid", "dim", "with_split",
                                    "monolithic"))
-def _pass_apply(Xb, scale, vert_pos, x_acc, b, u, phi, phi_old, phi_oold,
-                ca64, sc, con, active, *, which, dim, with_split,
-                monolithic):
+def _prepare64(u, phi, phi_old, phi_oold, caL64, sc, *, grid, dim,
+               with_split, monolithic):
+    """Exact f64 element Jacobians on the lattice raster, built ONCE per
+    Newton solve.  The Newton matrix is the exact derivative of the
+    residual, so its stored element matrices reproduce the matrix-free
+    jvp action to f64 rounding — and a stored-matrix lattice matvec
+    costs ~1/6 of a full jvp sweep (one f64 element-matrix build per
+    Newton iteration amortizes over the refinement passes)."""
+    nvc = 2 ** dim
+    ndl = nvc * (dim + 1)
+    cgrid = tuple(g - 1 for g in grid)
+    return physics.element_matrices(
+        u, phi, phi_old, phi_oold, caL64, sc, dim=dim,
+        with_split=with_split, monolithic=monolithic,
+        cell_last=True).reshape((ndl, ndl) + cgrid)
+
+
+@partial(jax.jit, static_argnames=("grid", "which", "dim"))
+def _pass_apply_mat(Xb, scale, vert_pos, x_acc, b, jacL64, dir_u_fin,
+                    dir_p_fin, active, *, grid, which, dim):
     """f32 -> f64 boundary of one CG pass, fused into ONE dispatch:
     un-normalize the pass iterate, form the trial accumulate, apply the
-    exact f64 Newton operator and compute the trial residual.  Returns
-    (x_try, r_try, rr_try, jp) with jp = J_pu x_try (consumed by the
-    phase-field block's right-hand side when which == 'u')."""
-    k, _, _ = _blk(which, dim)
+    exact f64 Newton operator (stored f64 element matrices, lattice
+    slices — no gathers, no jvp sweep) and compute the trial residual.
+    Returns (x_try, r_try, rr_try, jp) with jp = J_pu x_try (consumed by
+    the phase-field block's right-hand side when which == 'u')."""
+    k, lo, hi = _blk(which, dim)
+    nvc = 2 ** dim
     dx = _to_glob(Xb.astype(jnp.float64), vert_pos, k)
     x_try = x_acc + dx * scale
-    zero_u = jnp.zeros(u.shape[0], b.dtype)
-    zero_p = jnp.zeros(phi.shape[0], b.dtype)
-    from ..ops.constraints import condense_residual, expand_update
-
-    def res64(uu, pp):
-        return physics.assemble_residual(
-            uu, pp, phi_old, phi_oold, ca64, sc,
-            dim=dim, with_split=with_split, monolithic=monolithic)
-
-    if which == "u":
-        eu, ep = expand_update(x_try, zero_p, con, active)
-    else:
-        eu, ep = expand_update(zero_u, x_try, con, active)
-    _, (ju_r, jp_r) = jax.jvp(res64, (u, phi), (eu, ep))
-    ju, jp = condense_residual(-ju_r, -jp_r, con, active)
-    r_try = b - (ju if which == "u" else jp)
+    nvert = int(np.prod(grid))
+    active_L = jnp.zeros((nvert,), bool).at[vert_pos].set(
+        active).reshape((1,) + tuple(grid))
+    free_u = ~dir_u_fin
+    free_p = ~(dir_p_fin | active_L)
+    free = free_u if which == "u" else free_p
+    X = jnp.where(free, _to_lat(x_try, vert_pos, grid, k), 0.0)
+    Y = jnp.where(free, matvec(jacL64, X, lo, hi, k), 0.0)
+    r_try = b - _to_glob(Y, vert_pos, k)
     rr_try = jnp.vdot(r_try, r_try).real
+    if which == "u":
+        Yp = matvec_block(jacL64, X, nvc * dim, nvc * (dim + 1),
+                          lo, hi, k, 1)
+        jp = _to_glob(jnp.where(free_p, Yp, 0.0), vert_pos, 1)
+    else:
+        jp = jnp.zeros_like(r_try)
     return x_try, r_try, rr_try, jp
 
 
@@ -719,19 +759,37 @@ def _solve_split(sys, hier: LatticeHierarchy, u, phi, phi_old, phi_oold,
     Per CG pass, exactly three device dispatches: _pass_setup (f64
     residual -> normalized f32 lattice rhs), _cg_pass32 (the all-f32
     GMG-preconditioned CG, Pallas stencil matvec on the finest level),
-    and _pass_apply (f64 trial accumulate + exact Newton-operator
-    residual).  The f32/f64 split is what lets the Pallas kernel run in
-    production: XLA's X64-rewrite pass rejects computations mixing a
-    tpu_custom_call with f64 ops, so the pass itself must be f64-free."""
+    and _pass_apply_mat (f64 trial accumulate + exact stored-matrix
+    Newton-operator residual).  The f32/f64 split is what lets the
+    Pallas kernel run in production: XLA's X64-rewrite pass rejects
+    computations mixing a tpu_custom_call with f64 ops, so the pass
+    itself must be f64-free."""
     p = sys.params
     rtol = p.cg_rtol
     eps64 = float(np.finfo(np.float64).eps)
     kw = dict(dim=sys.dim, with_split=with_split,
               monolithic=sys.monolithic)
     grid = hier.grid
-    jacs = _prepare(u, phi, phi_old, phi_oold, sys.lattice_ca32,
-                    sys.scalars, hier.P_embed, grid=grid,
-                    n_levels=hier.n_levels, **kw)
+
+    import os
+    import time as _wt
+    debug = os.environ.get("CRACKS_TPU_DEBUG_SOLVE") == "1"
+
+    def _tick(label, x):
+        """Debug-only sync + wall-clock print per dispatch."""
+        if debug:
+            t0 = _wt.perf_counter()
+            jax.block_until_ready(x)
+            print(f"#     [{label}: {_wt.perf_counter() - t0:6.2f}s]",
+                  flush=True)
+        return x
+
+    jacs = _tick("prepare32", _prepare(
+        u, phi, phi_old, phi_oold, sys.lattice_ca32, sys.scalars,
+        hier.P_embed, grid=grid, n_levels=hier.n_levels, **kw))
+    jacL64 = _tick("prepare64", _prepare64(
+        u, phi, phi_old, phi_oold, sys.lattice_ca64, sys.scalars,
+        grid=grid, **kw))
     total_its = 0
     last_ju_pu = [None]   # J_pu du of the final accepted u iterate
 
@@ -739,7 +797,6 @@ def _solve_split(sys, hier: LatticeHierarchy, u, phi, phi_old, phi_oold,
     # tests/test_pallas_stencil.py and by the golden suite through this
     # path; ~2.3x traffic advantage over the XLA slice formulation).
     # CRACKS_TPU_PALLAS=0 opts out; CPU backends always use XLA slices.
-    import os
     use_pallas = (os.environ.get("CRACKS_TPU_PALLAS", "1") == "1"
                   and sys.dim == 2
                   and jax.default_backend() != "cpu")
@@ -751,7 +808,17 @@ def _solve_split(sys, hier: LatticeHierarchy, u, phi, phi_old, phi_oold,
             grid=grid, which=which, dim=sys.dim, pallas=use_pallas)
         fin_free = levels[-1].free
         bnorm = float(jnp.sqrt(jnp.vdot(b, b).real))
-        target2 = max(rtol * bnorm, 100.0 * eps64 * bnorm) ** 2
+        # Absolute floor: the Newton iteration only needs the linear
+        # residual to be invisible at its own convergence bound
+        # (lower_bound_newton_residual, an absolute norm the reference
+        # also uses, cracks.cc:2971).  Without it, iterations in the
+        # PDAS tail hand this solve a right-hand side that is pure f64
+        # assembly noise (|b_u| ~ 5e-11 at 1.23M DoFs) and the relative
+        # target rtol*|b| burns 30-90 CG iterations per Newton step
+        # digging below machine precision for a step nobody consumes.
+        atol_newton = 1e-3 * p.lower_bound_newton_residual
+        target2 = max(rtol * bnorm, atol_newton,
+                      100.0 * eps64 * bnorm) ** 2
         target2_d = jnp.asarray(target2)
         x_acc = jnp.zeros_like(b)
         r_cur = b
@@ -765,16 +832,53 @@ def _solve_split(sys, hier: LatticeHierarchy, u, phi, phi_old, phi_oold,
                                     rtol, target2_d, grid=grid,
                                     which=which, dim=sys.dim)
             R0, scale_d, tol2, _rr0 = setup
+            # bound the single-dispatch execution time: the shared TPU
+            # worker crashes on ~10-20 s executions (PERFORMANCE.md),
+            # and per-iteration cost scales with the lattice size
+            inner_max = 192 if sys.mesh.n_dofs <= 600_000 else 96
             Xb, k_d, _rrb = _cg_pass32(levels, coarse32, fine_pad, R0,
                                        tol2, grid=grid, which=which,
-                                       dim=sys.dim)
-            x_try, r_try, rr_try_d, jp_d = _pass_apply(
-                Xb, scale_d, hier.vert_pos, x_acc, b, u, phi, phi_old,
-                phi_oold, sys.ca, sys.scalars, con, active, which=which,
-                **kw)
+                                       dim=sys.dim, inner_max=inner_max)
+            x_try, r_try, rr_try_d, jp_d = _pass_apply_mat(
+                Xb, scale_d, hier.vert_pos, x_acc, b, jacL64,
+                hier.dir_u[-1], hier.dir_p[-1], active, grid=grid,
+                which=which, dim=sys.dim)
             k_h, rr_try = jax.device_get((k_d, rr_try_d))
             total_its += int(k_h)
             rr_try = float(rr_try)
+            if debug:
+                print(f"#   {which}-pass: its={int(k_h)} "
+                      f"rrb32={float(_rrb):.3e} "
+                      f"rr {rr_cur:.6e} -> {rr_try:.6e} "
+                      f"(target {target2:.3e})", flush=True)
+                dump = os.environ.get("CRACKS_TPU_DUMP_FAIL")
+                if (dump and float(_rrb) >= 1.0
+                        and not os.path.exists(dump)):
+                    np.savez(dump, u=np.asarray(u), phi=np.asarray(phi),
+                             phi_old=np.asarray(phi_old),
+                             phi_oold=np.asarray(phi_oold),
+                             active=np.asarray(active),
+                             b=np.asarray(b), which=which,
+                             scalars=np.asarray(
+                                 [float(v) for v in sys.scalars]))
+                    print(f"#   dumped failing state -> {dump}",
+                          flush=True)
+                if float(_rrb) >= 1.0:
+                    lams = [float(lv.lam) for lv in levels]
+                    dstats = [(float(jnp.min(jnp.abs(jnp.where(
+                        lv.free, 1.0 / lv.Dinv, jnp.inf)))),
+                        float(jnp.max(jnp.abs(jnp.where(
+                            lv.free, 1.0 / lv.Dinv, 0.0)))))
+                        for lv in levels]
+                    xb_fin = float(jnp.max(jnp.abs(Xb)))
+                    nan_j = [bool(jnp.any(~jnp.isfinite(j)))
+                             for j in jacs]
+                    print(f"#   DIAG {which}: lam={lams}\n"
+                          f"#   DIAG diag-min/max={dstats}\n"
+                          f"#   DIAG |Xb|max={xb_fin:.3e} "
+                          f"jac-nonfinite={nan_j} "
+                          f"R0max={float(jnp.max(jnp.abs(R0))):.3e}",
+                          flush=True)
             if not np.isfinite(rr_try) or rr_try >= rr_cur:
                 break
             progress = rr_try / max(rr_cur, 1e-300)
