@@ -148,6 +148,14 @@ class Parameters:
     decompose_stress_matrix: float = 0.0
 
     # --- cracks_tpu-specific extensions (not in the reference schema) ---
+    # PDAS set-settled complementarity band, RELATIVE to the largest
+    # active constraint force (the reference's active_set_tolarance is
+    # the absolute-zero special case, cracks.cc:2860): a Newton
+    # iteration whose status flips all carry |indicator| below this
+    # band counts as a settled set.  Exact set fixity always
+    # short-circuits first; the band only terminates the asymptotic
+    # marginal-dof peel seen at 1M+ DoFs (solvers/newton.py).
+    active_set_rel_tol: float = 1.0e-6
     # linear solver backend: "auto" | "direct" | "cg"
     linear_solver: str = "auto"
     # compute dtype for element kernels ("float64" for parity, "float32" fast)

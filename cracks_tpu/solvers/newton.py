@@ -289,10 +289,20 @@ def _fused_active_set_update(u, phi, phi_old, phi_oold, tot_p, active_old,
     pde_u, pde_p = condense_residual(ru, rp, con, active)
     n_active = jnp.sum(active)
     n_cycling = jnp.sum(active & cycling)
-    changed = jnp.any(active != active_old)
+    flipped = active != active_old
+    changed = jnp.sum(flipped)
     left = active_old & ~active
+    # complementarity diagnostics: the largest |indicator| among the
+    # dofs that changed status this iteration, and the constraint-force
+    # scale (largest indicator over the active set).  A flip whose
+    # indicator magnitude is far below the force scale is a marginal
+    # dof whose pinned/free status is beneath the linear-solve
+    # tolerance — see the convergence test in newton_active_set.
+    ind_flip_max = jnp.max(jnp.where(flipped, jnp.abs(indicator), 0.0))
+    ind_act_max = jnp.max(jnp.where(active, indicator, 0.0))
     return (u, phi, active, tot_p, pde_u, pde_p,
-            n_active, n_cycling, changed, left)
+            n_active, n_cycling, changed, left,
+            ind_flip_max, ind_act_max)
 
 
 @partial(jax.jit, static_argnames=("dim", "with_split", "max_steps"))
@@ -378,6 +388,20 @@ def newton_active_set(sys, state, time: float, verbose: bool = True):
     old_newton_residual = newton_residual
     log.print_line(0, "", "", f"{newton_residual:.6e}", verbose=verbose)
 
+    import os
+    import time as _wt
+    debug_as = os.environ.get("CRACKS_TPU_DEBUG_AS") == "1"
+    debug_t = os.environ.get("CRACKS_TPU_DEBUG_SOLVE") == "1"
+
+    def _tick(label, x):
+        """Debug-only sync + wall-clock print per Newton phase."""
+        if debug_t:
+            t0 = _wt.perf_counter()
+            jax.block_until_ready(x)
+            print(f"#     [{label}: {_wt.perf_counter() - t0:6.2f}s]",
+                  flush=True)
+        return x
+
     cycle_counter = np.zeros(n_v, dtype=np.int64)
     hang_mask = jnp.asarray(sys.mesh.hanging_mask())
     diag_mass = sys.diag_mass  # jnp (n_v,)
@@ -394,33 +418,49 @@ def newton_active_set(sys, state, time: float, verbose: bool = True):
         #      (cracks.cc:2822-2918) ----
         cycling = jnp.asarray(cycle_counter >= n_cycling_threshold)
         (u, phi, active, tot_p, pde_u, pde_p, n_active_d, n_cyc_d,
-         changed_d, left_d) = _fused_active_set_update(
-            u, phi, state.phi_old, state.phi_oold, tot_p, active_old,
-            cycling, hang_mask, diag_mass, c_weight, sys.ca, sys.scalars,
-            con, dim=sys.dim, with_split=with_split)
+         changed_d, left_d, ind_flip_d, ind_act_d) = _tick(
+            "as_update", _fused_active_set_update(
+                u, phi, state.phi_old, state.phi_oold, tot_p, active_old,
+                cycling, hang_mask, diag_mass, c_weight, sys.ca,
+                sys.scalars, con, dim=sys.dim, with_split=with_split))
         # one bulk transfer for all host-needed scalars (each separate
         # int()/np.asarray costs a full tunnel round trip)
-        n_cyc_h, n_act_h, chg_h, left_h = jax.device_get(
-            (n_cyc_d, n_active_d, changed_d, left_d))
+        (n_cyc_h, n_act_h, chg_h, left_h, ind_flip_h,
+         ind_act_h) = jax.device_get(
+            (n_cyc_d, n_active_d, changed_d, left_d, ind_flip_d,
+             ind_act_d))
         n_cycling_dofs = int(n_cyc_h)
         n_active = int(n_act_h)
         num_changed = int(chg_h)
+        ind_flip_max = float(ind_flip_h)
+        ind_act_max = float(ind_act_h)
+        if debug_as:
+            n_flip = int(np.sum(np.asarray(active != active_old)))
+            print(f"#   AS: flips={n_flip} |ind_flip|max="
+                  f"{ind_flip_max:.3e} ind_act_max={ind_act_max:.3e}",
+                  flush=True)
         # cycle detection: count dofs that LEFT the set (cracks.cc:2901-2907)
         cycle_counter[left_h] += 1
 
         # ---- solve (cracks.cc:2919) ----
+        t_solve = _wt.perf_counter()
         du, dp, n_lin = _solve(sys, u, phi, state.phi_old, state.phi_oold,
                                con, active, pde_u, pde_p, with_split)
+        if debug_t:
+            jax.block_until_ready(du)
+            print(f"#     [solve: {_wt.perf_counter() - t_solve:6.2f}s "
+                  f"({n_lin} its)]", flush=True)
         sum_lin_it += n_lin
 
         # ---- line search, one dispatch for all trials
         #      (cracks.cc:2940-2957) ----
-        u, phi, tot_p, pde_u, pde_p, res_d, ls_d = _fused_line_search(
-            u, phi, du, dp, state.phi_old, state.phi_oold, active,
-            sys.ca, sys.scalars, con,
-            jnp.asarray(newton_residual), p.line_search_damping,
-            dim=sys.dim, with_split=with_split,
-            max_steps=max(1, p.max_no_line_search_steps))
+        u, phi, tot_p, pde_u, pde_p, res_d, ls_d = _tick(
+            "line_search", _fused_line_search(
+                u, phi, du, dp, state.phi_old, state.phi_oold, active,
+                sys.ca, sys.scalars, con,
+                jnp.asarray(newton_residual), p.line_search_damping,
+                dim=sys.dim, with_split=with_split,
+                max_steps=max(1, p.max_no_line_search_steps)))
         res_h, ls_h = jax.device_get((res_d, ls_d))
         new_newton_residual = float(res_h)
         line_search_step = int(ls_h)
@@ -435,7 +475,39 @@ def newton_active_set(sys, state, time: float, verbose: bool = True):
         newton_residual = new_newton_residual
         newton_step += 1
 
-        if newton_residual < p.lower_bound_newton_residual and num_changed == 0:
+        # Convergence (cracks.cc:2971-2973): residual below the bound
+        # AND the active set settled.  The reference demands EXACT set
+        # fixity (its active_set_tolarance constant is 0.0,
+        # cracks.cc:2860), which works at test sizes where the discrete
+        # constraint-force spectrum has gaps much wider than solver
+        # noise.  At 1M+ DoFs the force spectrum near zero is quasi-
+        # continuous and the iteration "peels" marginal dofs forever:
+        # measured at 1.23M DoFs (Sneddon 2d refine 6, step 1), ~100
+        # dofs/iteration flip with indicator magnitudes ~1e-8 RELATIVE
+        # to the active-set force scale, decaying only ~0.68x per
+        # iteration — dozens of iterations at residual 1e-12 (bound
+        # 1e-7) with no physical change.  A dof whose |indicator| is
+        # within `active_set_rel_tol` of zero (relative to the largest
+        # active constraint force) satisfies the complementarity
+        # conditions to that tolerance in either status, so a flip
+        # inside that band is not a meaningful set change.  Exact
+        # fixity still short-circuits first whenever it happens (all
+        # reference-size runs), keeping golden parity bit-identical.
+        set_settled = num_changed == 0
+        if not set_settled and newton_step >= 2:
+            atol_ind = 1e-12 * max(c_weight,
+                                   float(sys.scalars.G_c)
+                                   / max(float(sys.scalars.alpha_eps),
+                                         1e-300))
+            ind_band = max(p.active_set_rel_tol * ind_act_max,
+                           1e1 * atol_ind)
+            if ind_flip_max <= ind_band:
+                set_settled = True
+                log.print_line(
+                    f"\tActive set settled: {num_changed} flips within "
+                    f"complementarity band {ind_band:.3e} "
+                    f"(|ind|max {ind_flip_max:.3e})", verbose=verbose)
+        if newton_residual < p.lower_bound_newton_residual and set_settled:
             log.print_line(f"\tNewton iterations: {newton_step} "
                            f"total linear iterations: {sum_lin_it}",
                            verbose=verbose)
