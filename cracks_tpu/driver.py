@@ -447,7 +447,8 @@ class Simulation:
         t_start = walltime.time()
         self.log(f"Cells:\t{self.mesh.n_cells}")
 
-        self.setup_system()
+        with self.timer.section("Setup system"):
+            self.setup_system()
         self.determine_mesh_dependent_parameters()
 
         n_v = self.mesh.n_vertices
@@ -467,7 +468,8 @@ class Simulation:
         if p.n_local_pre_refine == 0:
             self.determine_mesh_dependent_parameters()
         if self.sys is None:
-            self.setup_system()
+            with self.timer.section("Setup system"):
+                self.setup_system()
 
         # sanity checks mirroring the reference (cracks.cc:4216-4217)
         if not (self.alpha_eps >= self.min_cell_diameter):
@@ -481,9 +483,10 @@ class Simulation:
                  f"eps:               {self.alpha_eps}\n"
                  f"G_c:               {p.G_c}\n")
 
-        self.interpolate_initial_values(state)
-        self.output_results(state)
-        self.project_back_phase_field(state)
+        with self.timer.section("Initial values + output"):
+            self.interpolate_initial_values(state)
+            self.output_results(state)
+            self.project_back_phase_field(state)
 
         state.phi_old = state.phi
         state.phi_oold = state.phi
