@@ -99,7 +99,8 @@ def main():
             break
         except Exception as e:  # worker crash -> retry / shrink
             last_err = e
-            print(f"# attempt refine={r} failed: {type(e).__name__}",
+            msg = str(e).split("\n")[0][:300]
+            print(f"# attempt refine={r} failed: {type(e).__name__}: {msg}",
                   file=sys.stderr)
     else:
         raise last_err

@@ -498,6 +498,10 @@ class Simulation:
         refinement_cycle = 0
         n_refinement_cycles = p.n_refinement_cycles
         finishing_timestep_loop = 0.0
+        # per-step solver effort (timestep_number, newton_its, linear_its)
+        # — the reference prints these in its Newton trace and they are
+        # its preconditioner-quality metric (tests/*.output #LinIts)
+        self.solver_effort = []
 
         solver = (newton.newton_active_set
                   if p.outer_solver == "active set" else newton.newton_iteration)
@@ -577,6 +581,13 @@ class Simulation:
                         state.phi = state.phi_old
                         self.timestep /= 10.0
                         self.time += self.timestep
+
+                log = getattr(state, "last_log", None)
+                if log is not None:
+                    self.solver_effort.append(
+                        (self.timestep_number,
+                         getattr(log, "newton_steps", 0),
+                         getattr(log, "linear_iterations", 0)))
 
                 self.project_back_phase_field(state)
                 con = self.sys.constraints(self.time)

@@ -28,6 +28,23 @@ def test_sneddon_3d_full(tmp_path):
     assert tcv == pytest.approx(0.0399535, abs=1e-5)
 
 
+def test_hetero_3d_gmg_iterations(tmp_path):
+    """3d + heterogeneous bitmap material + hanging nodes through the
+    Galerkin GMG (the BASELINE.json v5e-8 north-star workload in
+    miniature).  Reference effort: 14-20 linear its per step at the
+    same DoF count under ML AMG (tests/hetero_3d_1.mpirun-4.output:
+    36,54); bound <= 3x that per Newton solve."""
+    sim, _ = run_prm(f"{PRM_DIR}/hetero_3d_1.prm", output_dir=str(tmp_path),
+                     max_no_timesteps=0, linear_solver="cg",
+                     preconditioner="gmg")
+    _prefix_match(sim, "hetero_3d_1.mpirun-4.statistics", 1,
+                  atol=1e-6, rtol=3e-3)
+    assert sim.sys.galerkin_hierarchy is not None
+    for step, newton_its, lin_its in sim.solver_effort:
+        assert newton_its > 0
+        assert lin_its / newton_its <= 60, (step, newton_its, lin_its)
+
+
 @pytest.mark.slow
 def test_hetero_3d_full(tmp_path):
     sim, _ = run_prm(f"{PRM_DIR}/hetero_3d_1.prm", output_dir=str(tmp_path))
