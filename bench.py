@@ -14,9 +14,10 @@ assembly throughput (~1e5 cells/s/core for this 3x3-quadrature
 vector-valued kernel), scaled linearly in DoFs.
 
 Environment knobs:
-  BENCH_REFINE   global refinements of the root grid (default 5 in 2d
-                 -> 102400 cells, 309k DoFs; refine 6 = 1.23M DoFs,
-                 the BASELINE.json north-star size)
+  BENCH_REFINE   global refinements of the root grid (default 6 in 2d
+                 -> 409600 cells, 1.23M DoFs — the BASELINE.json
+                 north-star size; refine 5 = 309k DoFs; the retry
+                 ladder falls back one refinement on worker failure)
   BENCH_DIM      2 (default) or 3: 3d runs the Sneddon penny crack on
                  the octree lattice path (11^3 roots, refine 2 ->
                  85,184 cells, 364k DoFs by default)
@@ -78,7 +79,7 @@ def _run_once(refine, dtype, precond, n_steps, dim):
 
 def main():
     dim = int(os.environ.get("BENCH_DIM", "2"))
-    refine = int(os.environ.get("BENCH_REFINE", "5" if dim == 2 else "2"))
+    refine = int(os.environ.get("BENCH_REFINE", "6" if dim == 2 else "2"))
     n_steps = int(os.environ.get("BENCH_STEPS", "2"))
     dtype = os.environ.get("BENCH_DTYPE", "float64")
     precond = os.environ.get("BENCH_PRECOND", "gmg")

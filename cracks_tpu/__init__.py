@@ -27,13 +27,23 @@ import jax as _jax
 _jax.config.update("jax_enable_x64", True)
 
 # Persistent compilation cache: the framework recompiles its kernels per
-# mesh epoch; caching makes repeated runs/test sessions fast.
+# mesh epoch; caching makes repeated runs/test sessions fast.  Set
+# CRACKS_TPU_CACHE to a directory to relocate it, or to the empty
+# string / "0" to disable it entirely.  (The CPU test suite disables
+# it: XLA:CPU's AOT `deserialize_executable` segfaults sporadically in
+# long executable-heavy processes — observed repeatedly in
+# tests/test_regression_adaptive.py full runs — and every CPU cache
+# load also logs a spurious machine-feature-mismatch error for the
+# pseudo-features ±prefer-no-gather/scatter.  TPU runs keep the cache;
+# it is what makes the 1.23M-DoF bench warmup minutes instead of an
+# hour.)
 _cache_dir = _os.environ.get(
     "CRACKS_TPU_CACHE", _os.path.expanduser("~/.cache/cracks_tpu_xla"))
-try:
-    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-except Exception:  # pragma: no cover - older jax
-    pass
+if _cache_dir and _cache_dir != "0":
+    try:
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:  # pragma: no cover - older jax
+        pass
 
 from .config import Parameters, parse_prm, default_parameters  # noqa: E402,F401

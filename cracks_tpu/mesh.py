@@ -415,11 +415,13 @@ class Forest:
         vert_coords = self._physical(roots_rep[first_idx], flat[first_idx])
 
         cell_coords = vert_coords[cell2vert]
-        # diameter = max pairwise vertex distance (deal.II cell->diameter()
-        # is the largest diagonal; for our hexes/quads the max pairwise
-        # distance equals it)
-        diffs = cell_coords[:, :, None, :] - cell_coords[:, None, :, :]
-        diameters = np.sqrt((diffs ** 2).sum(-1)).max(axis=(1, 2))
+        # diameter = largest diagonal (deal.II cell->diameter()); corners
+        # are in lexicographic order so corner c pairs with corner
+        # (2**dim - 1 - c).  Computing just the 2 (2d) / 4 (3d) diagonals
+        # instead of all vertex pairs cuts ~5 s off refine-6 extraction.
+        half = nv_cell // 2
+        diag = cell_coords[:, :half, :] - cell_coords[:, nv_cell - 1:half - 1:-1, :]
+        diameters = np.sqrt((diag ** 2).sum(-1)).max(axis=1)
 
         # --- hanging nodes ---
         edges = _EDGES_2D if dim == 2 else _EDGES_3D
