@@ -351,6 +351,26 @@ def _fused_line_search(u, phi, du, dp, phi_old, phi_oold, active, ca, sc,
     return u_out, phi_out, tot_p, pde_u, pde_p, res, k
 
 
+def _flips_within_band(newton_step, ind_flip_max, ind_act_max,
+                       active_set_rel_tol, c_weight, G_c, alpha_eps):
+    """Marginal-dof complementarity band of the PDAS convergence test.
+
+    Returns (in_band, band): whether every status flip this iteration
+    has |indicator| within `active_set_rel_tol` of zero relative to the
+    constraint-force scale `ind_act_max` (such a dof satisfies discrete
+    complementarity in either status — see the narrative at the call
+    site), plus the band value for logging.  Never fires before the
+    second Newton iteration (the first set update is the real one), and
+    keeps an absolute floor of 10x the indicator noise floor so a
+    zero-force active set (ind_act_max == 0) cannot produce a zero-width
+    band that rejects pure-noise flips."""
+    if newton_step < 2:
+        return False, 0.0
+    atol_ind = 1e-12 * max(c_weight, G_c / max(alpha_eps, 1e-300))
+    ind_band = max(active_set_rel_tol * ind_act_max, 1e1 * atol_ind)
+    return ind_flip_max <= ind_band, ind_band
+
+
 def newton_active_set(sys, state, time: float, verbose: bool = True):
     """Primal-dual active set Newton (cracks.cc:2780-2994).
 
@@ -494,14 +514,12 @@ def newton_active_set(sys, state, time: float, verbose: bool = True):
         # fixity still short-circuits first whenever it happens (all
         # reference-size runs), keeping golden parity bit-identical.
         set_settled = num_changed == 0
-        if not set_settled and newton_step >= 2:
-            atol_ind = 1e-12 * max(c_weight,
-                                   float(sys.scalars.G_c)
-                                   / max(float(sys.scalars.alpha_eps),
-                                         1e-300))
-            ind_band = max(p.active_set_rel_tol * ind_act_max,
-                           1e1 * atol_ind)
-            if ind_flip_max <= ind_band:
+        if not set_settled:
+            in_band, ind_band = _flips_within_band(
+                newton_step, ind_flip_max, ind_act_max,
+                p.active_set_rel_tol, c_weight,
+                float(sys.scalars.G_c), float(sys.scalars.alpha_eps))
+            if in_band:
                 set_settled = True
                 log.print_line(
                     f"\tActive set settled: {num_changed} flips within "

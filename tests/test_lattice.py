@@ -218,3 +218,81 @@ def test_lattice_solve_matches_galerkin():
     crack_g = sim_g.statistics.data["Crack Energy"][-1]
     assert bulk_l == pytest.approx(bulk_g, rel=1e-9)
     assert crack_l == pytest.approx(crack_g, rel=1e-9)
+
+
+def test_iter_dist():
+    """Staleness metric of the split-solve operator cache
+    (lattice.py _iter_dist): zero for identical context, relative in u,
+    absolute in the O(1)-scaled phase fields, relative in scalars."""
+    rng = np.random.default_rng(3)
+    u = jnp.asarray(rng.normal(size=16))
+    phi = jnp.asarray(rng.uniform(0.2, 1.0, 8))
+    sc = jnp.asarray([1.0, 2.0, 0.5])
+    z = (u, phi, phi, phi, sc)
+    assert float(lat._iter_dist(*z, *z)) == 0.0
+    # relative displacement move
+    d = float(lat._iter_dist(u * (1 + 1e-7), phi, phi, phi, sc, *z))
+    assert d == pytest.approx(1e-7, rel=1e-2)
+    # absolute phase-field move (phi has natural O(1) scale)
+    d = float(lat._iter_dist(u, phi + 1e-4, phi, phi, sc, *z))
+    assert d == pytest.approx(1e-4, rel=1e-6)
+    # relative scalar move (e.g. the pressure ramp between time steps)
+    sc2 = sc.at[0].set(1.0 + 1e-3)
+    d = float(lat._iter_dist(u, phi, phi, phi, sc2, *z))
+    assert d == pytest.approx(1e-3, rel=1e-6)
+
+
+def test_split_solve_operator_reuse(monkeypatch):
+    """Split-solve operators are reused while the Newton iterate stays
+    within 1e-6 relative (the PDAS-tail regime) and rebuilt once it
+    moves — and a reused-operator solve returns the identical update
+    (lattice.py _solve_split cache; the reference's Jacobian-reuse idea,
+    cracks.cc:3007)."""
+    sim = _sneddon_sim(refine=3)
+    state = sim.run()
+    sys_ = sim.sys
+    assert sys_.lattice_hierarchy is not None
+    hier = sys_.lattice_hierarchy
+
+    n_calls = {"prepare64": 0}
+    orig_prepare64 = lat._prepare64
+
+    def counting_prepare64(*a, **kw):
+        n_calls["prepare64"] += 1
+        return orig_prepare64(*a, **kw)
+
+    monkeypatch.setattr(lat, "_prepare64", counting_prepare64)
+    sys_._split_jac_cache = None  # start cold
+
+    u, phi = state.u, state.phi
+    phi_old, phi_oold = state.phi_old, state.phi_oold
+    con = sys_.constraints(1.0)
+    active = jnp.asarray(np.asarray(state.active_mask, dtype=bool))
+    rng = np.random.default_rng(0)
+    n_v = sim.mesh.n_vertices
+    rhs_u = jnp.asarray(rng.normal(size=n_v * 2))
+    rhs_p = jnp.asarray(rng.normal(size=n_v))
+
+    du1, dp1, _ = lat._solve_split(sys_, hier, u, phi, phi_old,
+                                   phi_oold, con, active, rhs_u, rhs_p,
+                                   sys_.with_split)
+    assert n_calls["prepare64"] == 1
+    assert sys_._split_jac_cache is not None
+
+    # same iterate -> cache hit, identical update
+    du2, dp2, _ = lat._solve_split(sys_, hier, u, phi, phi_old,
+                                   phi_oold, con, active, rhs_u, rhs_p,
+                                   sys_.with_split)
+    assert n_calls["prepare64"] == 1
+    np.testing.assert_array_equal(np.asarray(du1), np.asarray(du2))
+    np.testing.assert_array_equal(np.asarray(dp1), np.asarray(dp2))
+
+    # tail-sized move (1e-8 << 1e-6) -> still a cache hit
+    lat._solve_split(sys_, hier, u, phi + 1e-8, phi_old, phi_oold, con,
+                     active, rhs_u, rhs_p, sys_.with_split)
+    assert n_calls["prepare64"] == 1
+
+    # real move (1e-3 > 1e-6) -> rebuild
+    lat._solve_split(sys_, hier, u, phi + 1e-3, phi_old, phi_oold, con,
+                     active, rhs_u, rhs_p, sys_.with_split)
+    assert n_calls["prepare64"] == 2
