@@ -78,3 +78,37 @@ def test_sneddon_lattice_np1_equals_np8(tmp_path):
     diff = np.abs(rows1 - rows8)
     rel = diff / np.maximum(np.abs(rows1), 1e-300)
     assert ((diff <= 1e-6) | (rel <= 1e-8)).all(), (rows1, rows8)
+
+
+def test_sneddon_split_solve_np1_equals_np8(tmp_path, monkeypatch):
+    """np parity through the SPLIT-DISPATCH lattice solve — the
+    production path for >150k-DoF problems (the refine-6 north-star
+    configuration, lattice._solve_split) — forced at test size by
+    lowering the fused-solve threshold.  Covers the f64 setup /
+    all-f32 CG / f64 refine dispatch chain and the split-operator
+    cache under GSPMD cell-axis sharding."""
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    import cracks_tpu.solvers.lattice as lat
+    monkeypatch.setattr(lat, "FUSED_SOLVE_MAX_DOFS", 0)
+
+    def run(n_dev):
+        sim, _ = run_prm(f"{PRM_DIR}/sneddon_2d_1.prm",
+                         output_dir=str(tmp_path / f"split{n_dev}"),
+                         n_global_pre_refine=3, n_local_pre_refine=0,
+                         n_refinement_cycles=0, max_no_timesteps=0,
+                         n_devices=n_dev, linear_solver="cg",
+                         preconditioner="gmg", cg_rtol=1e-8,
+                         mixed_precision_cg=True)
+        assert sim.sys.lattice_hierarchy is not None
+        assert getattr(sim.sys, "_split_jac_cache", None) is not None, \
+            "split-dispatch solve must be engaged"
+        return parse_statistics(sim.statistics.write_text())
+
+    names1, rows1 = run(1)
+    names8, rows8 = run(8)
+    assert names1 == names8
+    diff = np.abs(rows1 - rows8)
+    rel = diff / np.maximum(np.abs(rows1), 1e-300)
+    assert ((diff <= 1e-6) | (rel <= 1e-8)).all(), (rows1, rows8)
