@@ -112,3 +112,38 @@ def test_sneddon_split_solve_np1_equals_np8(tmp_path, monkeypatch):
     diff = np.abs(rows1 - rows8)
     rel = diff / np.maximum(np.abs(rows1), 1e-300)
     assert ((diff <= 1e-6) | (rel <= 1e-8)).all(), (rows1, rows8)
+
+
+@pytest.mark.slow
+def test_sneddon_3d_split_solve_np1_equals_np8(tmp_path, monkeypatch):
+    """3d analogue of the split-solve parity test, mirroring the
+    reference's distributed 3d golden (tests/sneddon_3d_1.mpirun=4.*):
+    a Sneddon 3d penny-crack step through the octree-lattice
+    split-dispatch solve with the cell axis sharded over 8 devices must
+    reproduce the single-device statistics."""
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    import cracks_tpu.solvers.lattice as lat
+    monkeypatch.setattr(lat, "FUSED_SOLVE_MAX_DOFS", 0)
+
+    def run(n_dev):
+        sim, _ = run_prm(f"{PRM_DIR}/sneddon_3d_1.prm",
+                         output_dir=str(tmp_path / f"split3d{n_dev}"),
+                         n_global_pre_refine=1, n_local_pre_refine=0,
+                         n_refinement_cycles=0, max_no_timesteps=0,
+                         n_devices=n_dev, linear_solver="cg",
+                         preconditioner="gmg", cg_rtol=1e-8,
+                         mixed_precision_cg=True)
+        assert sim.sys.lattice_hierarchy is not None, \
+            "3d lattice fast path must be engaged"
+        assert getattr(sim.sys, "_split_jac_cache", None) is not None, \
+            "split-dispatch solve must be engaged"
+        return parse_statistics(sim.statistics.write_text())
+
+    names1, rows1 = run(1)
+    names8, rows8 = run(8)
+    assert names1 == names8
+    diff = np.abs(rows1 - rows8)
+    rel = diff / np.maximum(np.abs(rows1), 1e-300)
+    assert ((diff <= 1e-6) | (rel <= 1e-8)).all(), (rows1, rows8)
