@@ -177,8 +177,19 @@ class Forest:
         """Canonical int64 key for lattice points (root frame -> global).
 
         root: (n,) int64; coords: (n, dim) int64 in [0, S].
+
+        Dispatches to the native C++ core (cracks_tpu/native, the
+        p4est-analogue runtime component) when available; the numpy body
+        below is the bit-identical fallback.
         """
         dim, S, L = self.dim, self.S, self.max_level
+        from . import native
+        k_native = native.canonical_keys(
+            dim, S, L, MAX_COARSE_VERTS, root, coords, self.coarse.cells,
+            getattr(self, "face_uid", None) if dim == 3 else None,
+            self.root_face_vids if dim == 3 else None)
+        if k_native is not None:
+            return k_native
         n = len(root)
         lo = coords == 0
         hi = coords == S
