@@ -28,8 +28,40 @@ Environment knobs:
 
 import json
 import os
+import subprocess
 import sys
 import time
+
+
+def _wait_for_device(max_wait_s: float = 1200.0):
+    """Block until a JAX backend answers a device query (subprocess
+    probe — a hung tunnel blocks jax.devices() indefinitely inside this
+    process, a child can be killed).  The shared TPU worker restarts
+    take minutes; starting the bench against a dead tunnel wastes the
+    whole attempt ladder.  Proceeds anyway after max_wait_s."""
+    deadline = time.time() + max_wait_s
+    # honor a JAX_PLATFORMS override through jax.config — the env var
+    # alone does not displace an installed TPU plugin
+    probe = ("import os, jax; p = os.environ.get('JAX_PLATFORMS'); "
+             "p and jax.config.update('jax_platforms', p); "
+             "d = jax.devices(); print(d[0].platform, len(d))")
+    while True:
+        try:
+            r = subprocess.run([sys.executable, "-c", probe],
+                               capture_output=True, timeout=120)
+            if r.returncode == 0:
+                print(f"# device probe: {r.stdout.decode().strip()}",
+                      file=sys.stderr)
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() >= deadline:
+            print("# device probe: no backend after "
+                  f"{max_wait_s:.0f}s, proceeding", file=sys.stderr)
+            return
+        print("# device probe: backend unresponsive, retrying...",
+              file=sys.stderr)
+        time.sleep(60)
 
 
 def _make_params(refine, dtype, precond, n_steps, dim=2):
@@ -86,6 +118,8 @@ def main():
     if dim == 3 and "CRACKS_TPU_SNEDDON_REPS" not in os.environ:
         # 11^3 roots x refine 2 = 85,184 cells, 364k DoFs (>= 300k)
         os.environ["CRACKS_TPU_SNEDDON_REPS"] = "11"
+    if os.environ.get("BENCH_WAIT_DEVICE", "1") == "1":
+        _wait_for_device()
 
     # the shared TPU worker occasionally crashes/restarts under
     # sustained load; retry, then fall back to a smaller problem
