@@ -67,11 +67,11 @@ class System:
         # chunk-major scan layout only on the single-chip path: the SPMD
         # path shards the cell axis itself (parallel/sharding.py)
         one_chip = params.n_devices == 1
-        # host geometry tables, built ONCE per mesh epoch and shared by
-        # the f64 ca and the lattice raster-ordered f32/f64 variants
-        self._host_ca = physics.build_cell_arrays_host(mesh, lam, mu)
-        self.ca = physics.cell_arrays_from_host(self._host_ca,
-                                                dtype=dtype,
+        # device-resident geometry core, built/uploaded ONCE per mesh
+        # epoch; the f64 ca and the lattice raster-ordered f32/f64
+        # variants derive from it on device (one dispatch each)
+        self._core = physics.build_cell_core(mesh, lam, mu)
+        self.ca = physics.cell_arrays_from_core(self._core, dtype=dtype,
                                                 chunk=one_chip)
         # mixed-precision flag; the f32 cell arrays themselves are built
         # lazily (the lattice fast path carries its own raster-ordered
@@ -117,10 +117,10 @@ class System:
         lattice solve's refinement operator (lattice._prepare64)."""
         if self._lattice_ca64 is None and self._lattice_lay is not None:
             from .solvers import lattice
-            caL = lattice.permuted_cell_arrays(
-                self.mesh, self.lam_cells, self.mu_cells,
-                self._lattice_lay, dtype=jnp.float64,
-                chunk=self.params.n_devices == 1, host=self._host_ca)
+            caL = physics.cell_arrays_from_core(
+                self._core, dtype=jnp.float64,
+                chunk=self.params.n_devices == 1,
+                perm=self._lattice_lay.cell_perm)
             if self._device_mesh is not None:
                 from .parallel import sharding as _sh
                 caL = _sh.shard_cell_arrays_nopad(caL, self._device_mesh)
@@ -134,8 +134,8 @@ class System:
         if not self.mixed_precision:
             return None
         if self._ca32 is None:
-            self._ca32 = physics.cell_arrays_from_host(
-                self._host_ca, dtype=jnp.float32,
+            self._ca32 = physics.cell_arrays_from_core(
+                self._core, dtype=jnp.float32,
                 chunk=self.params.n_devices == 1)
         return self._ca32
 
@@ -273,11 +273,10 @@ class Simulation:
                     if hier is not None:
                         self.sys.lattice_hierarchy = hier
                         self.sys._lattice_lay = lay
-                        caL = lattice.permuted_cell_arrays(
-                            self.mesh, self.sys.lam_cells,
-                            self.sys.mu_cells, lay,
+                        caL = physics.cell_arrays_from_core(
+                            self.sys._core, dtype=jnp.float32,
                             chunk=(p.n_devices == 1),
-                            host=self.sys._host_ca)
+                            perm=lay.cell_perm)
                         if self.sys._device_mesh is not None:
                             from .parallel import sharding as _sh
                             caL = _sh.shard_cell_arrays_nopad(

@@ -267,6 +267,100 @@ def make_chunked(gather_u, gather_p, JxW, grads, lam, mu, inv_diam2,
         inv_diam2=prep(inv_diam2, 1.0, dtype))
 
 
+class CellCore(NamedTuple):
+    """Device-resident cell-FIRST geometry core: ONE host->device upload
+    per mesh epoch; every CellArrays variant (dtype x cell order x
+    chunking — up to three consumers per epoch) derives from it in a
+    single jitted device dispatch (derive_cell_arrays).  This keeps the
+    per-epoch host work at one geometry sweep and one ~250 MB transfer
+    instead of three transposing host copies + ~1.2 GB of uploads
+    (host copies also run at the mercy of noisy-neighbour contention on
+    the shared host, measured 2-10x swings)."""
+
+    gather_u: jax.Array   # (n_c, nvc*dim) int32
+    gather_p: jax.Array   # (n_c, nvc) int32
+    JxW: jax.Array        # (n_c, n_q) f64
+    grads: jax.Array      # (n_c, n_q, nvc, dim) f64
+    lam: jax.Array        # (n_c,) f64
+    mu: jax.Array         # (n_c,) f64
+    inv_diam2: jax.Array  # (n_c,) f64
+    shape_v: np.ndarray   # (n_q, nvc) host-side constant (tiny)
+
+
+def build_cell_core(mesh, lam, mu) -> CellCore:
+    """Host geometry sweep -> device-resident cell-first core."""
+    from ..fem import cell_geometry
+
+    t = element_tables(mesh.dim)
+    JxW, grads = cell_geometry(mesh.cell_coords, t)
+    dim = mesh.dim
+    n_c = mesh.n_cells
+    nvc = mesh.cell2vert.shape[1]
+    c2v = mesh.cell2vert.astype(np.int64)
+    gather_u = (c2v[:, :, None] * dim
+                + np.arange(dim)[None, None, :]).reshape(n_c, nvc * dim)
+    lam_arr = np.broadcast_to(np.asarray(lam, np.float64), (n_c,))
+    mu_arr = np.broadcast_to(np.asarray(mu, np.float64), (n_c,))
+    return CellCore(
+        gather_u=jnp.asarray(gather_u, jnp.int32),
+        gather_p=jnp.asarray(c2v, jnp.int32),
+        JxW=jnp.asarray(JxW), grads=jnp.asarray(grads),
+        lam=jnp.asarray(lam_arr), mu=jnp.asarray(mu_arr),
+        inv_diam2=jnp.asarray(1.0 / mesh.diameters**2),
+        shape_v=t.shape_v)
+
+
+@partial(jax.jit, static_argnames=("dtype", "spec", "permute"))
+def _derive_cell_arrays(core: CellCore, perm, *, dtype, spec, permute):
+    """One device dispatch: (permute) -> cast -> cell-last transpose
+    (-> chunk-major pad/reshape).  Layouts identical to the host
+    pipeline (cell_arrays_from_host / make_chunked)."""
+    def cf(a):
+        a = a[perm] if permute else a
+        return a.astype(dtype) if jnp.issubdtype(a.dtype,
+                                                 jnp.floating) else a
+
+    firsts = dict(gather_u=cf(core.gather_u), gather_p=cf(core.gather_p),
+                  JxW=cf(core.JxW), grads=cf(core.grads),
+                  lam=cf(core.lam), mu=cf(core.mu),
+                  inv_diam2=cf(core.inv_diam2))
+    last = {k: jnp.moveaxis(a, 0, -1) for k, a in firsts.items()}
+
+    chunked = None
+    if spec is not None:
+        n_chunks, ch = spec
+        n_c = core.JxW.shape[0]
+        pad = n_chunks * ch - n_c
+        fills = dict(gather_u=0, gather_p=0, JxW=0.0, grads=0.0,
+                     lam=1.0, mu=1.0, inv_diam2=1.0)
+
+        def chunk(a, fill):
+            a = jnp.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1),
+                        constant_values=fill)
+            a = a.reshape((n_chunks, ch) + a.shape[1:])
+            return jnp.moveaxis(a, 1, -1)
+
+        chunked = ChunkedCells(**{k: chunk(firsts[k], fills[k])
+                                  for k in fills})
+    return last, chunked
+
+
+def cell_arrays_from_core(core: CellCore, dtype=jnp.float64,
+                          chunk: bool = True,
+                          perm: np.ndarray | None = None) -> CellArrays:
+    """Device CellArrays (optionally cell-permuted, e.g. into lattice
+    raster order) derived from a CellCore."""
+    n_c = int(core.JxW.shape[0])
+    spec = chunk_spec(n_c) if chunk else None
+    permute = perm is not None
+    perm_d = (jnp.asarray(perm, jnp.int32) if permute
+              else jnp.zeros((0,), jnp.int32))
+    last, chunked = _derive_cell_arrays(core, perm_d, dtype=dtype,
+                                        spec=spec, permute=permute)
+    return CellArrays(shape_v=jnp.asarray(core.shape_v, dtype),
+                      chunked=chunked, **last)
+
+
 def _slice_cells(ca: CellArrays, s: int, e: int) -> CellArrays:
     return CellArrays(
         gather_u=ca.gather_u[:, s:e], gather_p=ca.gather_p[:, s:e],
