@@ -908,9 +908,18 @@ def _solve_split(sys, hier: LatticeHierarchy, u, phi, phi_old, phi_oold,
             # worker crashes on ~10-20 s executions (PERFORMANCE.md),
             # and per-iteration cost scales with the lattice size
             inner_max = 192 if sys.mesh.n_dofs <= 600_000 else 96
+            # Chebyshev degree: 2 and 3 are iteration-count vs
+            # per-cycle-cost tradeoffs (measured refine-5 CPU: 40 its
+            # at degree 2 vs 29 at degree 3, ~flop-neutral; block-
+            # Jacobi vertex scaling was also tried and changed NOTHING
+            # at nu = 0.2, so the point diagonal stays).  The env knob
+            # exists to A/B wall-clock on the real chip, where the
+            # latency-bound coarse levels favor fewer iterations.
+            degree = int(os.environ.get("CRACKS_TPU_CHEB_DEGREE", "2"))
             Xb, k_d, _rrb = _cg_pass32(levels, coarse32, fine_pad, R0,
                                        tol2, grid=grid, which=which,
-                                       dim=sys.dim, inner_max=inner_max)
+                                       dim=sys.dim, inner_max=inner_max,
+                                       degree=degree)
             x_try, r_try, rr_try_d, jp_d = _pass_apply_mat(
                 Xb, scale_d, hier.vert_pos, x_acc, b, jacL64,
                 hier.dir_u[-1], hier.dir_p[-1], active, grid=grid,
