@@ -851,8 +851,10 @@ def _solve_split(sys, hier: LatticeHierarchy, u, phi, phi_old, phi_oold,
     if jacs is None:
         # free the stale operators BEFORE building replacements: the
         # pair is ~0.8 GB at 1.23M DoFs and double-buffering it on a
-        # 16 GB chip is avoidable pressure
+        # 16 GB chip is avoidable pressure (the levels cache keys on
+        # the jacs tuple identity and pins it, so drop it too)
         sys._split_jac_cache = cache = None
+        sys._split_levels_cache = None
         jacs = _tick("prepare32", _prepare(
             u, phi, phi_old, phi_oold, sys.lattice_ca32, sys.scalars,
             hier.P_embed, grid=grid, n_levels=hier.n_levels, **kw))
@@ -875,10 +877,6 @@ def _solve_split(sys, hier: LatticeHierarchy, u, phi, phi_old, phi_oold,
 
     def block(which, b):
         nonlocal total_its
-        levels, coarse32, fine_pad = _prepare_levels(
-            jacs, hier.dir_u, hier.dir_p, hier.vert_pos, active,
-            grid=grid, which=which, dim=sys.dim, pallas=use_pallas)
-        fin_free = levels[-1].free
         bnorm = float(jnp.sqrt(jnp.vdot(b, b).real))
         # Absolute floor: the Newton iteration only needs the linear
         # residual to be invisible at its own convergence bound
@@ -891,6 +889,26 @@ def _solve_split(sys, hier: LatticeHierarchy, u, phi, phi_old, phi_oold,
         atol_newton = 1e-3 * p.lower_bound_newton_residual
         target2 = max(rtol * bnorm, atol_newton,
                       100.0 * eps64 * bnorm) ** 2
+        if bnorm * bnorm <= target2:
+            # rhs already below the solve target (PDAS-tail u blocks):
+            # skip the level build + coarse factorization outright
+            return jnp.zeros_like(b)
+        # u-block level operators (Chebyshev scalings + coarse factor)
+        # depend only on the element Jacobians and the Dirichlet masks —
+        # NOT on the active set — so they ride the jac reuse cache; the
+        # p-block mask changes with the active set every iteration.
+        lv_cache = getattr(sys, "_split_levels_cache", None)
+        if which == "u" and lv_cache is not None \
+                and lv_cache[0] is jacs and lv_cache[1] == use_pallas:
+            levels, coarse32, fine_pad = lv_cache[2]
+        else:
+            levels, coarse32, fine_pad = _prepare_levels(
+                jacs, hier.dir_u, hier.dir_p, hier.vert_pos, active,
+                grid=grid, which=which, dim=sys.dim, pallas=use_pallas)
+            if which == "u":
+                sys._split_levels_cache = (
+                    jacs, use_pallas, (levels, coarse32, fine_pad))
+        fin_free = levels[-1].free
         target2_d = jnp.asarray(target2)
         x_acc = jnp.zeros_like(b)
         r_cur = b
