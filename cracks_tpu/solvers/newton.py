@@ -259,13 +259,29 @@ from functools import partial
 import jax
 
 
-@partial(jax.jit, static_argnames=("dim", "with_split"))
-def _fused_active_set_update(u, phi, phi_old, phi_oold, tot_p, active_old,
-                             cycling, hang_mask, diag_mass, c_weight,
-                             ca, sc, con, *, dim, with_split):
+@partial(jax.jit, static_argnames=("dim", "with_split", "can_skip"))
+def _fused_active_set_update(u, phi, phi_old, phi_oold, tot_p, pde_u_in,
+                             pde_p_in, resid_ok, active_old, cycling,
+                             hang_mask, diag_mass, c_weight, ca, sc, con,
+                             *, dim, with_split, can_skip):
     """One dispatch for the whole PDAS iteration head: indicator, set
     update, pinning, hanging distribution, re-assembly, condensation and
-    the bookkeeping scalars (cracks.cc:2822-2918)."""
+    the bookkeeping scalars (cracks.cc:2822-2918).
+
+    With can_skip=True (hanging-node-free meshes only) an unchanged
+    active set skips the f64 re-assembly via lax.cond and returns the
+    residuals already in hand: the Newton update is zero on constrained
+    dofs (constraints.expand_update), so when no dof changed status the
+    pinning is a no-op and the incoming (tot_p, pde) — assembled at
+    exactly this (u, phi) by the line search (or the initial assemble)
+    — ARE this head's residuals, bit for bit.  `resid_ok` guards the
+    one case where they are not: a fully failed line search restores
+    (u, phi) but leaves the LAST TRIAL's residual in hand (matching the
+    reference's member-variable bookkeeping), so the skip is suppressed
+    and the head re-assembles at the restored iterate exactly like the
+    reference does.  On meshes with hanging nodes the re-interpolation
+    is not bit-exactly idempotent against the update's distribute, so
+    the skip is disabled."""
     gap = phi - phi_old
     indicator = tot_p / diag_mass + c_weight * gap
     # The reference tests `indicator > 0` (cracks.cc:2865) and relies on
@@ -282,11 +298,22 @@ def _fused_active_set_update(u, phi, phi_old, phi_oold, tot_p, active_old,
     phi = jnp.where(active, phi_old, phi)
     phi = hanging_interpolate_p(phi, con)
     u = hanging_interpolate_u(u, con)
-    ru, rp = physics.assemble_residual(
-        u, phi, phi_old, phi_oold, ca, sc,
-        dim=dim, with_split=with_split, monolithic=False)
-    tot_p = hanging_transpose_p(rp, con)
-    pde_u, pde_p = condense_residual(ru, rp, con, active)
+
+    def reassemble(_):
+        ru, rp = physics.assemble_residual(
+            u, phi, phi_old, phi_oold, ca, sc,
+            dim=dim, with_split=with_split, monolithic=False)
+        tp = hanging_transpose_p(rp, con)
+        pu, pp = condense_residual(ru, rp, con, active)
+        return tp, pu, pp
+
+    if can_skip:
+        unchanged = jnp.all(active == active_old) & resid_ok
+        tot_p, pde_u, pde_p = jax.lax.cond(
+            unchanged, lambda _: (tot_p, pde_u_in, pde_p_in),
+            reassemble, None)
+    else:
+        tot_p, pde_u, pde_p = reassemble(None)
     n_active = jnp.sum(active)
     n_cycling = jnp.sum(active & cycling)
     flipped = active != active_old
@@ -428,6 +455,13 @@ def newton_active_set(sys, state, time: float, verbose: bool = True):
     c_weight = 1e1 * p.E_modulus  # cracks.cc:2859
     n_cycling_threshold = 5       # cracks.cc:2866
 
+    # re-assembly skip (see _fused_active_set_update): only on
+    # hanging-node-free meshes, and only while the residuals in hand
+    # were assembled at the current iterate (True for the initial
+    # assemble; False after a fully failed line search).
+    can_skip = int(con.hang_child_p.shape[0]) == 0
+    resid_ok = True
+
     newton_step = 0
     sum_lin_it = 0
     new_newton_residual = 0.0
@@ -440,9 +474,11 @@ def newton_active_set(sys, state, time: float, verbose: bool = True):
         (u, phi, active, tot_p, pde_u, pde_p, n_active_d, n_cyc_d,
          changed_d, left_d, ind_flip_d, ind_act_d) = _tick(
             "as_update", _fused_active_set_update(
-                u, phi, state.phi_old, state.phi_oold, tot_p, active_old,
+                u, phi, state.phi_old, state.phi_oold, tot_p, pde_u,
+                pde_p, jnp.asarray(resid_ok), active_old,
                 cycling, hang_mask, diag_mass, c_weight, sys.ca,
-                sys.scalars, con, dim=sys.dim, with_split=with_split))
+                sys.scalars, con, dim=sys.dim, with_split=with_split,
+                can_skip=can_skip))
         # one bulk transfer for all host-needed scalars (each separate
         # int()/np.asarray costs a full tunnel round trip)
         (n_cyc_h, n_act_h, chg_h, left_h, ind_flip_h,
@@ -484,6 +520,10 @@ def newton_active_set(sys, state, time: float, verbose: bool = True):
         res_h, ls_h = jax.device_get((res_d, ls_d))
         new_newton_residual = float(res_h)
         line_search_step = int(ls_h)
+        # acceptance criterion mirrors the line search's own (< res0);
+        # a fully failed search leaves the last trial's residual in
+        # hand, assembled away from the restored iterate
+        resid_ok = new_newton_residual < newton_residual
 
         log.print_line(
             newton_step + 1, n_active, n_cycling_dofs,
