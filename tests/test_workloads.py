@@ -148,3 +148,42 @@ def test_band_equivalent_to_exact_fixity(tmp_path):
         for a, b in zip(sim_b.statistics.data[col],
                         sim_x.statistics.data[col]):
             assert abs(a - b) <= max(1e-6, 1e-7 * abs(b)), (col, a, b)
+
+
+def test_head_reassembly_skip_bit_identical(tmp_path):
+    """The PDAS head's re-assembly skip on unchanged active sets
+    (solvers/newton.py _fused_active_set_update can_skip) must be
+    bit-identical to the always-reassemble path: the skipped residual
+    was assembled at exactly the same iterate by the line search, so
+    (u, phi) and every statistics QoI agree exactly.  Exact set fixity
+    (active_set_rel_tol=0) guarantees a converged final iteration with
+    an unchanged set, i.e. the skip branch fires."""
+    import cracks_tpu.solvers.newton as newton
+
+    def run(force_off, out):
+        orig = newton._fused_active_set_update
+        if force_off:
+            newton._fused_active_set_update = (
+                lambda *a, **k: orig(*a, **{**k, "can_skip": False}))
+        try:
+            p = load_parameters(
+                os.path.join(regression.PARAMS_DIR,
+                             "parameters_sneddon_2d.prm"),
+                output_dir=out, max_no_timesteps=0,
+                n_global_pre_refine=2, n_local_pre_refine=0,
+                n_refinement_cycles=0, active_set_rel_tol=0.0)
+            sim = Simulation(p, verbose=False)
+            state = sim.run()
+        finally:
+            newton._fused_active_set_update = orig
+        return sim, state
+
+    sim_on, st_on = run(False, str(tmp_path / "on"))
+    sim_off, st_off = run(True, str(tmp_path / "off"))
+    assert np.array_equal(np.asarray(st_on.u), np.asarray(st_off.u))
+    assert np.array_equal(np.asarray(st_on.phi), np.asarray(st_off.phi))
+    assert (st_on.last_log.newton_steps == st_off.last_log.newton_steps)
+    for col in ("Bulk Energy", "Crack Energy", "TCV"):
+        a = sim_on.statistics.data.get(col)
+        b = sim_off.statistics.data.get(col)
+        assert a == b, (col, a, b)
