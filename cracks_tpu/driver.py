@@ -616,10 +616,10 @@ class Simulation:
             st.add_value("minimum cell diameter", self.min_cell_diameter)
             st.set_scientific("minimum cell diameter", 8)
 
-            bulk, crack = qoi.compute_energy(
-                self.mesh, self._u_mat(state), np.asarray(state.phi),
-                self._energy_lam(), self._energy_mu(),
-                self.constant_k, self.alpha_eps, p.G_c)
+            bulk_d, crack_d, tcv_d = qoi.energy_tcv_device(
+                state.u, state.phi, self.sys.ca, *self._energy_lam_mu_dev(),
+                self.constant_k, self.alpha_eps, p.G_c, dim=self.mesh.dim)
+            bulk, crack = float(bulk_d), float(crack_d)
             self.log(f"No {self.timestep_number} time {self.time} "
                      f"bulk energy: {bulk} crack energy: {crack}")
             st.add_value("Bulk Energy", bulk)
@@ -649,9 +649,8 @@ class Simulation:
             if p.output_dir:
                 st.write(os.path.join(p.output_dir, "statistics"))
 
-            diff_u = np.abs(np.asarray(state.u_old) - np.asarray(state.u)).max()
-            diff_p = np.abs(np.asarray(state.phi_old) - np.asarray(state.phi)).max()
-            finishing_timestep_loop = max(diff_u, diff_p)
+            finishing_timestep_loop = float(qoi.linf_diff_device(
+                state.u, state.u_old, state.phi, state.phi_old))
             if p.test_case == "sneddon":
                 self.log(f"Timestep difference linfty: {finishing_timestep_loop}")
 
@@ -661,8 +660,7 @@ class Simulation:
 
             # ---- Sneddon stationarity (cracks.cc:4483-4560) ----
             if p.test_case == "sneddon" and finishing_timestep_loop < 1e-5:
-                tcv = qoi.compute_tcv(self.mesh, self._u_mat(state),
-                                      np.asarray(state.phi))
+                tcv = float(tcv_d)
                 ref = qoi.tcv_exact(self.mesh.dim, p.pressure(time=self.time),
                                     p.poisson_ratio_nu)
                 self.log(f"TCV: value= {tcv} exact= {ref} "
@@ -707,6 +705,16 @@ class Simulation:
             old_old_timestep=self.old_old_timestep,
             use_old_timestep_pf=self.use_old_timestep_pf,
             timestep_number=self.timestep_number)
+
+    def _energy_lam_mu_dev(self):
+        """Device copies of the energy Lame fields, cached per mesh
+        epoch (consumed by qoi.energy_tcv_device every time step)."""
+        cache = getattr(self.sys, "_energy_lam_mu_dev", None)
+        if cache is None:
+            cache = (jnp.asarray(self._energy_lam(), jnp.float64),
+                     jnp.asarray(self._energy_mu(), jnp.float64))
+            self.sys._energy_lam_mu_dev = cache
+        return cache
 
     def _energy_lam(self):
         """compute_energy uses the raw bitmap E (without the +1 offset

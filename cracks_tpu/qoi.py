@@ -2,12 +2,21 @@
 
 Reimplements the reference's N15 component (cracks.cc:3264-3816):
 bulk/crack energies, boundary load, total crack volume, crack opening
-displacements, point stress and the Sneddon exact-phi L2 error.  These
-run once per time step, vectorized in numpy/float64 on the host.
+displacements, point stress and the Sneddon exact-phi L2 error.
+
+Two tiers: host-numpy reference implementations (readable, what the
+unit tests pin against, used for the small/occasional functionals), and
+device-side jitted reductions for the per-step energy/TCV/stationarity
+evaluations, which at refine-6 sizes would otherwise cost seconds per
+step in host geometry sweeps and tunnel transfers.
 """
 
 from __future__ import annotations
 
+from functools import partial
+
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from .fem import (cell_geometry, element_tables, face_tables,
@@ -51,6 +60,120 @@ def compute_tcv(mesh: MeshData, u, phi):
     """Total crack volume TCV = int u . grad(pf) dx (cracks.cc:3553-3589)."""
     _, _, grad_pf, u_q, JxW, _ = _fields_at_qpoints(mesh, u, phi)
     return float(np.sum(np.einsum("cqd,cqd->cq", u_q, grad_pf) * JxW))
+
+
+# ---------------------------------------------------------------------------
+# device-side QoI reductions (the per-step hot path)
+#
+# compute_energy/compute_tcv above are the readable host-numpy reference
+# implementations (and what the unit tests pin against).  The driver's
+# per-step statistics call runs on DEVICE instead: at refine-6 sizes the
+# host path costs seconds per step — it re-derives the (c, q, a, dim)
+# geometry tables on the (contended, 1-core) host and pulls ~20 MB of
+# solution vectors through the tunnel, all inside the benched region —
+# while the device kernel reuses the resident CellArrays and returns
+# three f64 scalars.  Same integrals as cracks.cc:3615-3701 / 3553-3589.
+# ---------------------------------------------------------------------------
+
+def _energy_tcv_cl(u_e, phi_e, lam, mu, JxW, grads, shape_v,
+                   constant_k, alpha_eps, G_c, dim):
+    """Chunk body, cell-last layout (mirrors physics._element_residual_cl):
+    u_e (a, d, c), phi_e (a, c), lam/mu (c,), JxW (q, c),
+    grads (q, a, d, c).  Returns (bulk, crack, tcv) partial sums."""
+    import jax.numpy as jnp
+
+    grad_u = jnp.einsum("adc,qaec->qdec", u_e, grads)
+    pf = jnp.einsum("qa,ac->qc", shape_v, phi_e)
+    grad_pf = jnp.einsum("ac,qaec->qec", phi_e, grads)
+    u_q = jnp.einsum("qa,adc->qdc", shape_v, u_e)
+    trE = sum(grad_u[:, d, d] for d in range(dim))
+    E2 = 0.0
+    for d in range(dim):
+        for e in range(dim):
+            Ede = 0.5 * (grad_u[:, d, e] + grad_u[:, e, d])
+            E2 = E2 + Ede * Ede
+    psi = 0.5 * lam[None, :] * trE**2 + mu[None, :] * E2
+    bulk = jnp.sum(((1.0 + constant_k) * pf**2 + constant_k) * psi * JxW)
+    crack = jnp.sum(0.5 * G_c * ((pf - 1.0) ** 2 / alpha_eps
+                                 + alpha_eps * jnp.sum(grad_pf**2, axis=1))
+                    * JxW)
+    tcv = jnp.sum(jnp.einsum("qdc,qdc->qc", u_q, grad_pf) * JxW)
+    return bulk, crack, tcv
+
+
+def energy_tcv_device(u, phi, ca, lam_e, mu_e, constant_k, alpha_eps,
+                      G_c, *, dim: int):
+    """Jitted device evaluation of (bulk energy, crack energy, TCV).
+
+    `ca` is the System's device CellArrays (f64, assembly cell order,
+    chunked at > CELL_CHUNK cells); `lam_e`/`mu_e` are the ENERGY
+    Lame fields as (n_c,) device arrays — for the heterogeneous case
+    they use the raw bitmap E without the assembly's +1 offset
+    (reference quirk, cracks.cc:3651)."""
+    return _energy_tcv_device_jit(u, phi, ca, lam_e, mu_e,
+                                  jnp.asarray(constant_k, jnp.float64),
+                                  jnp.asarray(alpha_eps, jnp.float64),
+                                  jnp.asarray(G_c, jnp.float64), dim=dim)
+
+
+@partial(jax.jit, static_argnames=("dim",))
+def _energy_tcv_device_jit(u, phi, ca, lam_e, mu_e, constant_k,
+                           alpha_eps, G_c, *, dim):
+    from .ops.physics import CELL_CHUNK, _chunk_cells, _slice_cells
+
+    nvc = ca.gather_p.shape[0]
+    n_c = ca.gather_p.shape[1]
+    if lam_e.shape[0] != n_c:
+        # multi-chip CellArrays carry zero-JxW pad cells (so the pad
+        # value is irrelevant to the integrals); match their length
+        lam_e = jnp.pad(lam_e, (0, n_c - lam_e.shape[0]))
+        mu_e = jnp.pad(mu_e, (0, n_c - mu_e.shape[0]))
+    if ca.chunked is not None:
+        # chunk the energy Lame fields to the scan layout (pad cells
+        # carry JxW == 0, so the fill value is irrelevant)
+        n_chunks, ch = ca.chunked.JxW.shape[0], ca.chunked.JxW.shape[-1]
+        pad = n_chunks * ch - n_c
+
+        def chunk_vec(a):
+            return jnp.pad(a, (0, pad)).reshape(n_chunks, ch)
+
+        lam_c, mu_c = chunk_vec(lam_e), chunk_vec(mu_e)
+
+        def body(carry, xs):
+            c, lam_k, mu_k = xs
+            cac = _chunk_cells(ca, c)
+            u_e = u[cac.gather_u].reshape(nvc, dim, -1)
+            b, cr, t = _energy_tcv_cl(
+                u_e, phi[cac.gather_p], lam_k, mu_k, cac.JxW, cac.grads,
+                cac.shape_v, constant_k, alpha_eps, G_c, dim)
+            b0, c0, t0 = carry
+            return (b0 + b, c0 + cr, t0 + t), None
+
+        z = jnp.zeros((), jnp.float64)
+        (bulk, crack, tcv), _ = jax.lax.scan(
+            body, (z, z, z), (ca.chunked, lam_c, mu_c))
+        return bulk, crack, tcv
+
+    bulk = crack = tcv = jnp.zeros((), jnp.float64)
+    for s in range(0, n_c, CELL_CHUNK):
+        e = min(s + CELL_CHUNK, n_c)
+        cac = _slice_cells(ca, s, e) if n_c > CELL_CHUNK else ca
+        u_e = u[cac.gather_u].reshape(nvc, dim, -1)
+        b, cr, t = _energy_tcv_cl(
+            u_e, phi[cac.gather_p], lam_e[s:e], mu_e[s:e], cac.JxW,
+            cac.grads, cac.shape_v, constant_k, alpha_eps, G_c, dim)
+        bulk, crack, tcv = bulk + b, crack + cr, tcv + t
+    return bulk, crack, tcv
+
+
+@jax.jit
+def linf_diff_device(u, u_old, phi, phi_old):
+    """max(‖u − u_old‖_∞, ‖φ − φ_old‖_∞) in one device dispatch — the
+    Sneddon stationarity criterion (cracks.cc:4483-4489) without pulling
+    four full solution vectors to the host every step."""
+    du = jnp.max(jnp.abs(u - u_old))
+    dp = jnp.max(jnp.abs(phi - phi_old))
+    return jnp.maximum(du, dp)
 
 
 def tcv_exact(dim: int, pressure: float, poisson_nu: float) -> float:

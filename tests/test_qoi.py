@@ -115,3 +115,77 @@ def test_cod_sweep_matches_per_line():
         else:
             assert v == -1e300
     assert hits > 2
+
+
+def test_device_energy_tcv_matches_host():
+    """The driver's per-step device QoI reduction (qoi.energy_tcv_device)
+    must reproduce the host-numpy reference implementation, on both the
+    unchunked and the scan-chunked cell sweep."""
+    import jax.numpy as jnp
+
+    from cracks_tpu.ops import physics
+
+    mesh = _mesh(6)
+    rng = np.random.default_rng(7)
+    u = 0.01 * rng.standard_normal((mesh.n_vertices, 2))
+    phi = rng.uniform(0.2, 1.0, mesh.n_vertices)
+    lam = rng.uniform(1.0, 3.0, mesh.n_cells)
+    mu = rng.uniform(0.5, 1.5, mesh.n_cells)
+    k, eps, Gc = 1e-8, 0.25, 1.3
+    bulk_h, crack_h = qoi.compute_energy(mesh, u, phi, lam, mu, k, eps, Gc)
+    tcv_h = qoi.compute_tcv(mesh, u, phi)
+
+    ca = physics.build_cell_arrays(mesh, lam, mu)
+    args = (jnp.asarray(u.reshape(-1)), jnp.asarray(phi), ca,
+            jnp.asarray(lam), jnp.asarray(mu), k, eps, Gc)
+    b, c, t = qoi.energy_tcv_device(*args, dim=2)
+    assert float(b) == pytest.approx(bulk_h, rel=1e-12)
+    assert float(c) == pytest.approx(crack_h, rel=1e-12)
+    assert float(t) == pytest.approx(tcv_h, rel=1e-12, abs=1e-15)
+
+    # force the chunked-scan path by shrinking the chunk threshold
+    spec = physics.chunk_spec(mesh.n_cells + physics.CELL_CHUNK)
+    n_chunks, ch = 4, -(-mesh.n_cells // 4)
+    ch = -(-ch // 128) * 128 if ch > 128 else ch
+    host = physics.build_cell_arrays_host(mesh, lam, mu)
+    g_u, g_p, JxW, grads, shape_v, lam_, mu_, invd2 = host
+    chunked = physics.ChunkedCells(
+        gather_u=_chunk_major(g_u, 0, n_chunks, ch, jnp.int32),
+        gather_p=_chunk_major(g_p, 0, n_chunks, ch, jnp.int32),
+        JxW=_chunk_major(JxW, 0.0, n_chunks, ch, jnp.float64),
+        grads=_chunk_major(grads, 0.0, n_chunks, ch, jnp.float64),
+        lam=_chunk_major(lam_, 1.0, n_chunks, ch, jnp.float64),
+        mu=_chunk_major(mu_, 1.0, n_chunks, ch, jnp.float64),
+        inv_diam2=_chunk_major(invd2, 1.0, n_chunks, ch, jnp.float64))
+    ca_chunked = ca._replace(chunked=chunked)
+    b2, c2, t2 = qoi.energy_tcv_device(
+        args[0], args[1], ca_chunked, args[3], args[4], k, eps, Gc, dim=2)
+    assert float(b2) == pytest.approx(bulk_h, rel=1e-12)
+    assert float(c2) == pytest.approx(crack_h, rel=1e-12)
+    assert float(t2) == pytest.approx(tcv_h, rel=1e-12, abs=1e-15)
+
+
+def _chunk_major(a, fill, n_chunks, ch, dt):
+    import jax.numpy as jnp
+
+    a = np.asarray(a)
+    n_c = a.shape[-1]
+    pad = n_chunks * ch - n_c
+    assert pad >= 0
+    if pad:
+        a = np.concatenate(
+            [a, np.full(a.shape[:-1] + (pad,), fill, a.dtype)], axis=-1)
+    a = a.reshape(a.shape[:-1] + (n_chunks, ch))
+    return jnp.asarray(np.moveaxis(a, -2, 0), dtype=dt)
+
+
+def test_linf_diff_device():
+    rng = np.random.default_rng(3)
+    u = rng.standard_normal(50)
+    u2 = u + 1e-3 * rng.standard_normal(50)
+    p = rng.standard_normal(20)
+    p2 = p.copy()
+    p2[7] += 0.5
+    got = float(qoi.linf_diff_device(u, u2, p, p2))
+    expect = max(np.abs(u - u2).max(), np.abs(p - p2).max())
+    assert got == pytest.approx(expect, rel=0, abs=0)
