@@ -178,11 +178,27 @@ class Parameters:
     assembled_matvec: bool = True
     # number of devices to shard element arrays over (1 = single chip)
     n_devices: int = 1
+    # DoF vector distribution across the device mesh:
+    #  "replicated" — element arrays sharded, DoF vectors whole on every
+    #     chip (combine = full-size psum; exact, memory-bound at scale);
+    #  "lattice"    — sharded-DoF production path: state in lattice
+    #     layout, sharded in slabs along the leading grid axis; all
+    #     inter-chip traffic is the one-row window halo (the reference's
+    #     owned+ghost rows + compress(add), cracks.cc:1622-1628,
+    #     2470-2475).  Requires the tensor-grid lattice fast path and
+    #     the active-set outer solver; falls back to replicated
+    #     otherwise.
+    dof_sharding: str = "replicated"
     # write VTU visualization output every step
     write_vtu: bool = False
 
     # ------------------------------------------------------------------
     def __post_init__(self):
+        # The reference honors `Use Direct Inner Solver` as THE solver
+        # selection (cracks.cc:2750-2758); map it onto the backend knob
+        # unless the TPU extension chose a backend explicitly.
+        if self.direct_solver and self.linear_solver == "auto":
+            self.linear_solver = "direct"
         if self.outer_solver not in OUTER_SOLVERS:
             raise ValueError(f"unknown outer solver {self.outer_solver!r}")
         if self.test_case not in TEST_CASES:
@@ -191,6 +207,8 @@ class Parameters:
             raise ValueError(f"unknown ref strategy {self.ref_strategy!r}")
         if self.dimension not in (2, 3):
             raise ValueError("Dimension must be 2 or 3")
+        if self.dof_sharding not in ("replicated", "lattice"):
+            raise ValueError(f"unknown DoF sharding {self.dof_sharding!r}")
 
     # Derived material constants (reference cracks.cc:1500-1525).
     @property
@@ -272,6 +290,7 @@ _PRM_MAP = {
     ("TPU parameters", "CG chunk"): ("cg_chunk", int),
     ("TPU parameters", "Mixed precision CG"): ("mixed_precision_cg", _to_bool),
     ("TPU parameters", "Number of devices"): ("n_devices", int),
+    ("TPU parameters", "DoF sharding"): ("dof_sharding", str),
     ("TPU parameters", "Write VTU"): ("write_vtu", _to_bool),
 }
 

@@ -103,3 +103,29 @@ def test_dump_roundtrip():
     text = dump_parameters(p)
     p2 = load_parameters(text)
     assert p2 == p
+
+
+def test_direct_inner_solver_honored():
+    """`Use Direct Inner Solver = true` must select the direct backend
+    (cracks.cc:2750-2758) unless the TPU extension overrides it."""
+    base = """
+subsection Solver parameters
+  set Use Direct Inner Solver = true
+end
+subsection Global parameters
+  set Max No of timesteps = 1
+end
+"""
+    p = load_parameters(base)
+    assert p.direct_solver is True
+    assert p.linear_solver == "direct"
+    # an explicit TPU backend choice wins over the reference flag
+    p2 = load_parameters(base + """
+subsection TPU parameters
+  set Linear solver = cg
+end
+""")
+    assert p2.linear_solver == "cg"
+    # flag off keeps the auto dispatch
+    p3 = load_parameters(base.replace("true", "false"))
+    assert p3.linear_solver == "auto"
