@@ -69,8 +69,15 @@ class System:
         one_chip = params.n_devices == 1
         # device-resident geometry core, built/uploaded ONCE per mesh
         # epoch; the f64 ca and the lattice raster-ordered f32/f64
-        # variants derive from it on device (one dispatch each)
+        # variants derive from it on device (one dispatch each).  On a
+        # device mesh the core itself is sharded along the cell axis —
+        # it is the largest per-epoch object and must not stay
+        # replicated (parallel/sharding.shard_cell_core).
         self._core = physics.build_cell_core(mesh, lam, mu)
+        if params.n_devices > 1:
+            from .parallel import sharding as _sh0
+            self._core = _sh0.shard_cell_core(
+                self._core, _sh0.make_device_mesh(params.n_devices))
         self.ca = physics.cell_arrays_from_core(self._core, dtype=dtype,
                                                 chunk=one_chip)
         # mixed-precision flag; the f32 cell arrays themselves are built
@@ -138,6 +145,37 @@ class System:
                 self._core, dtype=jnp.float32,
                 chunk=self.params.n_devices == 1)
         return self._ca32
+
+    # -- sharded-DoF (lattice) layout helpers (solvers/lattice_newton) --
+    @property
+    def lat_gyp(self) -> int:
+        """Padded leading-grid-axis extent for boundary-crossing lattice
+        vectors: ceil(GY/D)*D so the slab NamedSharding divides evenly
+        (GY itself is odd)."""
+        gy = self.lattice_hierarchy.grid[0]
+        if self._device_mesh is None:
+            return gy
+        d = int(self._device_mesh.devices.size)
+        return -(-gy // d) * d
+
+    def lat_ns(self):
+        """NamedSharding of a (k, gyp, ...) padded lattice vector:
+        contiguous row slabs over the device mesh (None single-chip)."""
+        if self._device_mesh is None:
+            return None
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        return NamedSharding(
+            self._device_mesh, P(None, "cells", *([None] * (self.dim - 1))))
+
+    def lat_ns_jac(self):
+        """NamedSharding of an (ndl, ndl, *cellgrid) element-matrix
+        level: row slabs along the leading cell-grid axis."""
+        if self._device_mesh is None:
+            return None
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        return NamedSharding(
+            self._device_mesh,
+            P(None, None, "cells", *([None] * (self.dim - 1))))
 
     def constraints(self, time: float) -> Constraints:
         # masks are time-independent; Newton-update constraints are
@@ -299,6 +337,17 @@ class Simulation:
                 self.sys.hierarchy = multigrid.build_hierarchy(
                     self.forest, self.mesh, p, lam_fn, dirichlet_fn,
                     dtype=self.sys.dtype)
+        # sharded-DoF production mode (solvers/lattice_newton.py):
+        # lattice-layout state, slab-sharded over the device mesh
+        self.sys.use_lattice_state = (
+            self.p.dof_sharding == "lattice"
+            and getattr(self.sys, "lattice_hierarchy", None) is not None
+            and self.p.outer_solver == "active set")
+        if (self.p.dof_sharding == "lattice"
+                and not self.sys.use_lattice_state):
+            self.log("DoF sharding = lattice requested but unavailable "
+                     "(needs the tensor-grid lattice path + active-set "
+                     "solver); falling back to replicated DoF vectors")
         self.log(f"\nDoFs: {self.mesh.n_vertices * self.mesh.dim} solid + "
                  f"{self.mesh.n_vertices} phase = {self.mesh.n_dofs}")
 
@@ -506,9 +555,22 @@ class Simulation:
         # — the reference prints these in its Newton trace and they are
         # its preconditioner-quality metric (tests/*.output #LinIts)
         self.solver_effort = []
+        # per-step wall clock (timestep_number, n_dofs, seconds) — the
+        # bench's per-mesh-epoch timing source (adaptive runs change
+        # DoF counts mid-run, so a single wall/steps average would mix
+        # mesh sizes)
+        self.step_times = []
 
-        solver = (newton.newton_active_set
-                  if p.outer_solver == "active set" else newton.newton_iteration)
+        def solver(sys_, state_, time_, verbose=True):
+            if p.outer_solver != "active set":
+                return newton.newton_iteration(sys_, state_, time_,
+                                               verbose=verbose)
+            if getattr(sys_, "use_lattice_state", False):
+                from .solvers.lattice_newton import newton_active_set_lattice
+                return newton_active_set_lattice(sys_, state_, time_,
+                                                 verbose=verbose)
+            return newton.newton_active_set(sys_, state_, time_,
+                                            verbose=verbose)
 
         # ---- timestep loop ----
         while True:
@@ -656,6 +718,9 @@ class Simulation:
 
             self.timer.wall["Time step loop"] += walltime.time() - step_t0
             self.timer.calls["Time step loop"] += 1
+            self.step_times.append((self.timestep_number,
+                                    self.mesh.n_dofs,
+                                    walltime.time() - step_t0))
             self.timestep_number += 1
 
             # ---- Sneddon stationarity (cracks.cc:4483-4560) ----

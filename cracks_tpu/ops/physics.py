@@ -492,18 +492,18 @@ def _single_cell_residual(u_e, phi_e, pf_old_e, pf_oold_e, JxW, grads,
     return ru_e, rp_e
 
 
-def _element_matrices_chunk(u, phi, phi_old, phi_oold, cac: CellArrays,
-                            sc: Scalars, *, nvc: int, dim: int,
-                            with_split: bool, monolithic: bool):
-    """(ndl, ndl, n_c) dense element Jacobians of one cell chunk via ndl
-    one-hot jvps of the batched cell-last residual (see element_matrices
-    docstring for why jvps beat a vmapped jacfwd on TPU)."""
+def element_matrices_from_cellvals(u_e, phi_e, pf_old_e, pf_oold_e,
+                                   cac: CellArrays, sc: Scalars, *,
+                                   nvc: int, dim: int, with_split: bool,
+                                   monolithic: bool):
+    """(ndl, ndl, n_c) dense element Jacobians from PRE-GATHERED per-cell
+    dof values (u_e (nvc, dim, n_c), phi_e (nvc, n_c)) via ndl one-hot
+    jvps of the batched cell-last residual (see element_matrices
+    docstring for why jvps beat a vmapped jacfwd on TPU).  Shared by the
+    flat gather path below and the gather-free lattice-window path
+    (solvers/lattice.py)."""
     ndl = nvc * (dim + 1)
-    n_c = cac.gather_p.shape[-1]
-    u_e = u[cac.gather_u].reshape(nvc, dim, n_c)
-    phi_e = phi[cac.gather_p]
-    pf_old_e = phi_old[cac.gather_p]
-    pf_oold_e = phi_oold[cac.gather_p]
+    n_c = phi_e.shape[-1]
 
     def f(ue, pe):
         ru_e, rp_e = _element_residual_cl(
@@ -516,18 +516,30 @@ def _element_matrices_chunk(u, phi, phi_old, phi_oold, cac: CellArrays,
     for j in range(ndl):
         if j < nvc * dim:
             a, d = divmod(j, dim)
-            tu = jnp.zeros((nvc, dim), u.dtype).at[a, d].set(1.0)
+            tu = jnp.zeros((nvc, dim), u_e.dtype).at[a, d].set(1.0)
             du_t = jnp.broadcast_to(tu[:, :, None], (nvc, dim, n_c))
-            dp_t = jnp.zeros((nvc, n_c), u.dtype)
+            dp_t = jnp.zeros((nvc, n_c), u_e.dtype)
         else:
             a = j - nvc * dim
-            du_t = jnp.zeros((nvc, dim, n_c), u.dtype)
+            du_t = jnp.zeros((nvc, dim, n_c), u_e.dtype)
             dp_t = jnp.broadcast_to(
-                jnp.zeros(nvc, u.dtype).at[a].set(1.0)[:, None],
+                jnp.zeros(nvc, u_e.dtype).at[a].set(1.0)[:, None],
                 (nvc, n_c))
         _, dcol = jax.jvp(f, (u_e, phi_e), (du_t, dp_t))
         cols.append(-dcol)                        # J = -d(rhs)
     return jnp.stack(cols, axis=1)
+
+
+def _element_matrices_chunk(u, phi, phi_old, phi_oold, cac: CellArrays,
+                            sc: Scalars, *, nvc: int, dim: int,
+                            with_split: bool, monolithic: bool):
+    """(ndl, ndl, n_c) element Jacobians of one cell chunk (flat dof
+    vectors, gather maps)."""
+    n_c = cac.gather_p.shape[-1]
+    return element_matrices_from_cellvals(
+        u[cac.gather_u].reshape(nvc, dim, n_c), phi[cac.gather_p],
+        phi_old[cac.gather_p], phi_oold[cac.gather_p], cac, sc,
+        nvc=nvc, dim=dim, with_split=with_split, monolithic=monolithic)
 
 
 @partial(jax.jit, static_argnames=("dim", "with_split", "monolithic",

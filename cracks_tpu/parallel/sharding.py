@@ -80,6 +80,25 @@ def pad_cell_arrays(ca: physics.CellArrays, n_devices: int) -> physics.CellArray
     )
 
 
+def shard_cell_core(core: physics.CellCore, mesh: Mesh) -> physics.CellCore:
+    """Shard the device-resident cell-FIRST geometry core along its
+    leading cell axis (contiguous space-filling-curve blocks — the
+    p4est partition).  The core is the largest per-epoch device-resident
+    object; leaving it replicated adds an O(n_cells) per-chip floor.
+    No-op when the cell count does not divide the device count (the
+    derived CellArrays still get their own sharding downstream)."""
+    n_c = int(core.JxW.shape[0])
+    if n_c % mesh.devices.size:
+        return core
+    ns = NamedSharding(mesh, P("cells"))
+    put = lambda a: jax.device_put(a, ns)
+    return physics.CellCore(
+        gather_u=put(core.gather_u), gather_p=put(core.gather_p),
+        JxW=put(core.JxW), grads=put(core.grads), lam=put(core.lam),
+        mu=put(core.mu), inv_diam2=put(core.inv_diam2),
+        shape_v=core.shape_v)
+
+
 def shard_cell_arrays_nopad(ca: physics.CellArrays,
                             mesh: Mesh) -> physics.CellArrays:
     """Place the cell axis on the device mesh WITHOUT padding the cell

@@ -1138,3 +1138,323 @@ def _solve_newton_system(u, phi, phi_old, phi_oold, ca64, caL32, sc,
     rhs_p2 = rhs_p - op64_both(du, zero_p)[1]
     dp, it_p, rr_p = block_solve("p", rhs_p2)
     return du, dp, it_u + it_p, rr_u + rr_p
+
+
+# ---------------------------------------------------------------------------
+# lattice-resident (sharded-DoF) assembly and solve
+# ---------------------------------------------------------------------------
+# The replicated-vector production path keeps every DoF vector whole on
+# every chip.  The functions below are the sharded-DoF production
+# analogue of the reference's owned+ghost distributed vectors
+# (cracks.cc:1622-1628 owned/relevant IndexSets, 2147-2154 ghosted
+# copies, 2470-2475 compress(add)): state lives in the lattice layout
+# (k, *grid), sharded in contiguous slabs along the leading grid axis
+# over the device mesh.  Every FEM gather/scatter is a shifted window
+# slice, so GSPMD partitions each kernel with a one-row halo exchange
+# over the ICI (collective-permute) — surface traffic, not volume, the
+# exact communication pattern of p4est's ghost layer.
+#
+# Sharding representation: user-facing NamedShardings must divide the
+# sharded dimension evenly, and vertex-grid extents are odd (10*2^r+1),
+# so every boundary-crossing DoF vector carries PAD ROWS up to
+# gyp = ceil(GY/D)*D along the leading grid axis (always zero-filled);
+# each jitted kernel slices back to the true grid on entry and re-pads
+# + re-constrains on exit.  Element-matrix chains shard without padding
+# (cell-grid extents 10*2^r divide the device count in production).
+
+
+def _unpad_rows(X, gy: int):
+    """Drop boundary pad rows: (k, gyp, ...) -> (k, gy, ...)."""
+    return X if X.shape[1] == gy else X[:, :gy]
+
+
+def _pad_rows(X, gyp: int, ns=None):
+    """Pad the leading grid axis to gyp rows (zeros) and optionally
+    constrain to the slab sharding (the padded extent divides the
+    device count, so the NamedSharding is representable)."""
+    pad = gyp - X.shape[1]
+    if pad:
+        w = [(0, 0)] * X.ndim
+        w[1] = (0, pad)
+        X = jnp.pad(X, w)
+    if ns is not None:
+        X = jax.lax.with_sharding_constraint(X, ns)
+    return X
+
+
+def _maybe_shard_jacs(jacs, ns_jac):
+    """Slab-shard each element-matrix level whose leading cell-grid
+    extent divides the device count (coarse levels that do not are tiny
+    and stay wherever propagation puts them)."""
+    if ns_jac is None:
+        return tuple(jacs)
+    D = ns_jac.mesh.devices.size
+    return tuple(
+        jax.lax.with_sharding_constraint(j, ns_jac)
+        if j.shape[2] % D == 0 else j for j in jacs)
+
+
+@partial(jax.jit, static_argnames=("dim", "with_split", "monolithic"))
+def lattice_residual(U, P, P_old, P_oold, caL, sc, *, dim,
+                     with_split, monolithic):
+    """Gather-free residual assembly in lattice layout.
+
+    U (dim, *grid), P/P_old/P_oold (1, *grid); caL are the
+    raster-ordered CellArrays (flat cell axis).  Returns (RU (dim,*grid),
+    RP (1, *grid)) — the rhs (negative residual), same physics and sign
+    convention as physics.assemble_residual (cracks.cc:2393-2430), with
+    the cell->vertex gather and the vertex scatter-add expressed as
+    2^dim shifted window slices instead of dynamic gathers."""
+    nvc = 2 ** dim
+    grid = U.shape[1:]
+    cgrid = tuple(g - 1 for g in grid)
+    n_c = int(np.prod(cgrid))
+    u_e = gather_windows(U).reshape(nvc, dim, n_c)
+    p_e = gather_windows(P).reshape(nvc, n_c)
+    p_old_e = gather_windows(P_old).reshape(nvc, n_c)
+    p_oold_e = gather_windows(P_oold).reshape(nvc, n_c)
+    ru_e, rp_e = physics._element_residual_cl(
+        u_e, p_e, p_old_e, p_oold_e, caL, sc, dim=dim,
+        with_split=with_split, monolithic=monolithic)
+    RU = scatter_windows(ru_e.reshape((nvc, dim) + cgrid), grid)
+    RP = scatter_windows(rp_e.reshape((nvc, 1) + cgrid), grid)
+    return RU, RP
+
+
+def element_matrices_lattice(U, P, P_old, P_oold, caL, sc, *, dim,
+                             with_split, monolithic):
+    """(ndl, ndl, *cellgrid) element Jacobians from lattice-layout state
+    (window gathers instead of dynamic gathers)."""
+    nvc = 2 ** dim
+    ndl = nvc * (dim + 1)
+    grid = U.shape[1:]
+    cgrid = tuple(g - 1 for g in grid)
+    n_c = int(np.prod(cgrid))
+    jac = physics.element_matrices_from_cellvals(
+        gather_windows(U).reshape(nvc, dim, n_c),
+        gather_windows(P).reshape(nvc, n_c),
+        gather_windows(P_old).reshape(nvc, n_c),
+        gather_windows(P_oold).reshape(nvc, n_c),
+        caL, sc, nvc=nvc, dim=dim, with_split=with_split,
+        monolithic=monolithic)
+    return jac.reshape((ndl, ndl) + cgrid)
+
+
+@partial(jax.jit, static_argnames=("grid", "dim", "n_levels",
+                                   "with_split", "monolithic", "ns_jac"))
+def _prepare_lat(U, P, P_old, P_oold, caL32, sc, P_embed, *, grid, dim,
+                 n_levels, with_split, monolithic, ns_jac=None):
+    """jac32 chain from (padded) lattice-layout state (sharded-DoF
+    variant of _prepare)."""
+    gy = grid[0]
+    f32 = lambda x: _unpad_rows(x, gy).astype(jnp.float32)
+    sc32 = physics.Scalars(*(x.astype(jnp.float32) for x in sc))
+    jacL = element_matrices_lattice(
+        f32(U), f32(P), f32(P_old), f32(P_oold), caL32, sc32, dim=dim,
+        with_split=with_split, monolithic=monolithic)
+    jacs = [jacL]
+    for _ in range(n_levels - 1):
+        jacs.insert(0, coarsen(jacs[0], P_embed))
+    return _maybe_shard_jacs(jacs, ns_jac)
+
+
+@partial(jax.jit, static_argnames=("grid", "dim", "with_split",
+                                   "monolithic", "ns_jac"))
+def _prepare64_lat(U, P, P_old, P_oold, caL64, sc, *, grid, dim,
+                   with_split, monolithic, ns_jac=None):
+    """Exact f64 element Jacobians from (padded) lattice-layout state
+    (sharded-DoF variant of _prepare64)."""
+    gy = grid[0]
+    up = lambda x: _unpad_rows(x, gy)
+    jac = element_matrices_lattice(
+        up(U), up(P), up(P_old), up(P_oold), caL64, sc, dim=dim,
+        with_split=with_split, monolithic=monolithic)
+    return _maybe_shard_jacs([jac], ns_jac)[0]
+
+
+@partial(jax.jit, static_argnames=("grid", "which", "dim"))
+def _prepare_levels_lat(jacs, dir_u, dir_p, active_pad, *, grid,
+                        which: str, dim: int):
+    """Per-block level operator data from a (padded) lattice-layout
+    active mask (sharded-DoF variant of _prepare_levels; no Pallas —
+    the custom call does not partition under GSPMD)."""
+    k, lo, hi = _blk(which, dim)
+    active_L = _unpad_rows(active_pad, grid[0])
+    levels = _build_block_levels(list(jacs), dir_u, dir_p, grid,
+                                 active_L, lo, hi, k, which)
+    (cho_c, _lower), scale = _coarse_dense_factor(levels[0], lo, hi, k)
+    coarse32 = (cho_c.astype(jnp.float32), scale.astype(jnp.float32))
+    return tuple(levels), coarse32
+
+
+@partial(jax.jit, static_argnames=("grid", "which", "dim"))
+def _pass_setup_lat(fin_free, R_pad, rtol, target2, *, grid, which, dim):
+    """f64 -> f32 boundary of one CG pass on a (padded) lattice-layout
+    residual (sharded-DoF variant of _pass_setup; one dispatch).  The
+    returned R0 is TRUE-shaped (consumed by _cg_pass32 against the
+    level masks)."""
+    R = _unpad_rows(R_pad, grid[0])
+    rr0 = jnp.sum(R * R)
+    scale = jnp.sqrt(rr0)
+    inv_scale = jnp.where(scale > 0, 1.0 / scale, 0.0)
+    R0 = jnp.where(fin_free, (R * inv_scale).astype(jnp.float32), 0.0)
+    tol2 = jnp.asarray(
+        jnp.maximum(jnp.maximum(rtol, 3e-7) ** 2,
+                    jnp.where(rr0 > 0, target2 / rr0, 1.0)), jnp.float32)
+    return R0, scale, tol2, rr0
+
+
+@partial(jax.jit, static_argnames=("grid", "which", "dim", "gyp", "ns"))
+def _pass_apply_mat_lat(Xb, scale, X_acc, B, jacL64, free_u, free_p, *,
+                        grid, which, dim, gyp, ns=None):
+    """f32 -> f64 boundary of one CG pass, lattice layout throughout
+    (sharded-DoF variant of _pass_apply_mat): trial accumulate, exact
+    stored-f64 lattice matvec, trial residual.  X_acc/B arrive padded;
+    Xb is the true-shaped f32 pass iterate.  Returns padded
+    (X_try, R_try, rr_try, JP) with JP = J_pu X_try for which == 'u'."""
+    k, lo, hi = _blk(which, dim)
+    nvc = 2 ** dim
+    gy = grid[0]
+    x_acc = _unpad_rows(X_acc, gy)
+    b = _unpad_rows(B, gy)
+    X_try = x_acc + Xb.astype(jnp.float64) * scale
+    free = free_u if which == "u" else free_p
+    X = jnp.where(free, X_try, 0.0)
+    Y = jnp.where(free, matvec(jacL64, X, lo, hi, k), 0.0)
+    R_try = b - Y
+    rr_try = jnp.sum(R_try * R_try)
+    if which == "u":
+        Yp = matvec_block(jacL64, X, nvc * dim, nvc * (dim + 1),
+                          lo, hi, k, 1)
+        JP = jnp.where(free_p, Yp, 0.0)
+    else:
+        JP = jnp.zeros((1,) + tuple(grid), jnp.float64)
+    return (_pad_rows(X_try, gyp, ns), _pad_rows(R_try, gyp, ns),
+            rr_try, _pad_rows(JP, gyp, ns))
+
+
+def _solve_split_lat(sys, hier: LatticeHierarchy, U, P, P_old, P_oold,
+                     active, RHS_U, RHS_P, with_split, passes=3):
+    """Host-orchestrated restarted-refinement solve on LATTICE-LAYOUT
+    sharded state: the sharded-DoF production solve.  Mathematically
+    identical to _solve_split (same f32 GMG-CG pass + f64 stored-matrix
+    refinement), but every DoF vector stays (k, gyp, ...) — row-padded
+    and slab-sharded along the leading grid axis when the System
+    carries a device mesh — and no flat replicated copies are formed.
+    Returns (DU, DP, total_its) padded, on the free subspace."""
+    p = sys.params
+    rtol = p.cg_rtol
+    eps64 = float(np.finfo(np.float64).eps)
+    kw = dict(dim=sys.dim, with_split=with_split,
+              monolithic=sys.monolithic)
+    grid = hier.grid
+    gy = grid[0]
+    gyp = U.shape[1]
+    ns = sys.lat_ns()
+    ns_jac = sys.lat_ns_jac()
+    dir_u_fin = hier.dir_u[-1]
+    dir_p_fin = hier.dir_p[-1]
+    active_L = _unpad_rows(active, gy)
+    free_u_fin = ~dir_u_fin
+    free_p_fin = ~(dir_p_fin | active_L)
+
+    import os
+    debug = os.environ.get("CRACKS_TPU_DEBUG_SOLVE") == "1"
+
+    # operator reuse across PDAS tail iterations (same contract as
+    # _solve_split: staleness test via _iter_dist, delta <= 1e-6)
+    cache = getattr(sys, "_split_jac_cache_lat", None)
+    sc_vec = _scalars_vec(sys.scalars)
+    jacs = jacL64 = None
+    if cache is not None:
+        key0, flags0, jacs_c, jacL64_c = cache
+        if (flags0 == (with_split, sys.monolithic)
+            and all(a.shape == b.shape for a, b in
+                    zip(key0, (U, P, P_old, P_oold, sc_vec)))):
+            d = float(_iter_dist(U, P, P_old, P_oold, sc_vec, *key0))
+            if d <= 1e-6:
+                jacs, jacL64 = jacs_c, jacL64_c
+            if debug:
+                print(f"#     [jac-lat "
+                      f"{'reuse' if jacs is not None else 'rebuild'}:"
+                      f" context moved {d:.1e}]", flush=True)
+        del jacs_c, jacL64_c
+    if jacs is None:
+        sys._split_jac_cache_lat = cache = None
+        sys._split_levels_cache_lat = None
+        jacs = _prepare_lat(U, P, P_old, P_oold, sys.lattice_ca32,
+                            sys.scalars, hier.P_embed, grid=grid,
+                            n_levels=hier.n_levels, ns_jac=ns_jac, **kw)
+        jacL64 = _prepare64_lat(U, P, P_old, P_oold, sys.lattice_ca64,
+                                sys.scalars, grid=grid, ns_jac=ns_jac,
+                                **kw)
+        sys._split_jac_cache_lat = ((U, P, P_old, P_oold, sc_vec),
+                                    (with_split, sys.monolithic),
+                                    jacs, jacL64)
+    total_its = 0
+    last_ju_pu = [None]
+
+    def block(which, B):
+        nonlocal total_its
+        bnorm = float(jnp.sqrt(jnp.sum(B * B)))   # pad rows are zero
+        atol_newton = 1e-3 * p.lower_bound_newton_residual
+        target2 = max(rtol * bnorm, atol_newton,
+                      100.0 * eps64 * bnorm) ** 2
+        if bnorm * bnorm <= target2:
+            return jnp.zeros_like(B)
+        lv_cache = getattr(sys, "_split_levels_cache_lat", None)
+        if which == "u" and lv_cache is not None and lv_cache[0] is jacs:
+            levels, coarse32 = lv_cache[1]
+        else:
+            levels, coarse32 = _prepare_levels_lat(
+                jacs, hier.dir_u, hier.dir_p, active, grid=grid,
+                which=which, dim=sys.dim)
+            if which == "u":
+                sys._split_levels_cache_lat = (jacs, (levels, coarse32))
+        fin_free = levels[-1].free
+        target2_d = jnp.asarray(target2)
+        X_acc = jnp.zeros_like(B)
+        R_cur = B
+        rr_cur = bnorm * bnorm
+        setup = None
+        for _ in range(passes):
+            if rr_cur <= target2:
+                break
+            if setup is None:
+                setup = _pass_setup_lat(fin_free, R_cur, rtol,
+                                        target2_d, grid=grid,
+                                        which=which, dim=sys.dim)
+            R0, scale_d, tol2, _rr0 = setup
+            inner_max = 192 if sys.mesh.n_dofs <= 600_000 else 96
+            degree = int(os.environ.get("CRACKS_TPU_CHEB_DEGREE", "2"))
+            Xb, k_d, _rrb = _cg_pass32(levels, coarse32, None, R0, tol2,
+                                       grid=grid, which=which,
+                                       dim=sys.dim, inner_max=inner_max,
+                                       degree=degree)
+            X_try, R_try, rr_try_d, JP_d = _pass_apply_mat_lat(
+                Xb, scale_d, X_acc, B, jacL64, free_u_fin, free_p_fin,
+                grid=grid, which=which, dim=sys.dim, gyp=gyp, ns=ns)
+            k_h, rr_try = jax.device_get((k_d, rr_try_d))
+            total_its += int(k_h)
+            rr_try = float(rr_try)
+            if debug:
+                print(f"#   {which}-pass(lat): its={int(k_h)} "
+                      f"rrb32={float(_rrb):.3e} "
+                      f"rr {rr_cur:.6e} -> {rr_try:.6e} "
+                      f"(target {target2:.3e})", flush=True)
+            if not np.isfinite(rr_try) or rr_try >= rr_cur:
+                break
+            progress = rr_try / max(rr_cur, 1e-300)
+            X_acc, R_cur = X_try, R_try
+            if which == "u":
+                last_ju_pu[0] = JP_d
+            rr_cur = rr_try
+            setup = None
+            if rr_cur <= target2 or progress > 0.25:
+                break
+        return X_acc
+
+    DU = block("u", RHS_U)
+    RHS_P2 = RHS_P if last_ju_pu[0] is None else RHS_P - last_ju_pu[0]
+    DP = block("p", RHS_P2)
+    return DU, DP, total_its
