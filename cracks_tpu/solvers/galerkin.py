@@ -821,3 +821,239 @@ def solve_cg_block(hier: GalerkinHierarchy, jac_fine, ca_fine, con,
                                      rhs_p.astype(cjac.dtype), dim=dim)
     dp, it_p = run_block("p", rhs_p2)
     return du, dp, it_u + it_p
+
+
+# ---------------------------------------------------------------------------
+# split-dispatch solve (large adaptive problems)
+# ---------------------------------------------------------------------------
+# solve_newton_system fuses the whole mixed-precision solve into ONE
+# XLA execution — ideal dispatch-latency-wise at golden sizes, but a
+# single multi-second execution at production sizes, which the shared
+# TPU worker kills (PERFORMANCE.md: sustained ~10-20 s executions
+# crash it; the lattice path hit the same wall at 150k+ DoFs).  The
+# functions below run the SAME algorithm (all-f32 Galerkin-GMG CG
+# passes + exact f64 matrix-free refinement between passes) as
+# host-orchestrated bounded device executions, mirroring
+# lattice._solve_split.  This is what serves hanging-node (adaptive)
+# meshes at the sizes where the reference leans on ML-AMG
+# (cracks.cc:2477-2497).
+
+
+@partial(jax.jit, static_argnames=("dim", "with_split", "monolithic"))
+def _g_jac32(u, phi, phi_old, phi_oold, ca64, sc, *, dim, with_split,
+             monolithic):
+    """f32 stored element Jacobians at the Newton point (one bounded
+    dispatch; f64 matrices are never built — the refinement operator is
+    matrix-free, see _g_pass_apply)."""
+    f32c = lambda x: x.astype(jnp.float32)
+    ca32 = physics.CellArrays(
+        gather_u=ca64.gather_u, gather_p=ca64.gather_p,
+        JxW=f32c(ca64.JxW), grads=f32c(ca64.grads),
+        shape_v=f32c(ca64.shape_v), lam=f32c(ca64.lam),
+        mu=f32c(ca64.mu), inv_diam2=f32c(ca64.inv_diam2),
+        chunked=None)
+    return physics.element_matrices(
+        f32c(u), f32c(phi), f32c(phi_old), f32c(phi_oold), ca32,
+        physics.Scalars(*(f32c(v) for v in sc)),
+        dim=dim, with_split=with_split, monolithic=monolithic,
+        cell_last=True)
+
+
+@partial(jax.jit, static_argnames=("dim", "which"))
+def _g_pass_setup(level_ops, r, rtol, target2, *, dim, which):
+    """f64 -> f32 boundary of one CG pass (flat dof vectors)."""
+    fin = level_ops[-1]
+    free = fin.free_u if which == "u" else fin.free_p
+    rr0 = jnp.vdot(r, r).real
+    scale = jnp.sqrt(rr0)
+    inv_scale = jnp.where(scale > 0, 1.0 / scale, 0.0)
+    R0 = jnp.where(free, (r * inv_scale).astype(jnp.float32), 0.0)
+    tol2 = jnp.asarray(
+        jnp.maximum(jnp.maximum(rtol, 3e-7) ** 2,
+                    jnp.where(rr0 > 0, target2 / rr0, 1.0)), jnp.float32)
+    return R0, scale, tol2, rr0
+
+
+@partial(jax.jit, static_argnames=("dim", "which", "degree",
+                                   "inner_max", "stall_window"))
+def _g_cg_pass32(level_ops, R0, tol2, *, dim, which, degree=2,
+                 inner_max=192, stall_window=16):
+    """One all-f32 Galerkin-GMG CG pass on the normalized residual;
+    returns (best iterate, iterations, best rr).  Stall guard exits
+    when no new best residual appears within `stall_window` iterations
+    (the f32 arithmetic floor)."""
+    nvc = 2 ** dim
+    nud_l = nvc * dim
+    lo, hi = (0, nud_l) if which == "u" else (nud_l, nud_l + nvc)
+    fin = level_ops[-1]
+    gather = fin.gather_u if which == "u" else fin.gather_p
+    free = fin.free_u if which == "u" else fin.free_p
+    hang = fin.hang_u if which == "u" else fin.hang_p
+    op32 = _masked_op(fin.jac, gather, free, lo, hi, hang)
+    M32 = make_vcycle(level_ops, dim=dim, which=which, degree=degree)
+    Z0 = M32(R0)
+
+    def cond(s):
+        X, R, Z, Pv, rz, kk, Xb, rrb, kb = s
+        return (rrb > tol2) & (kk < inner_max) & (kk - kb < stall_window)
+
+    def body(s):
+        X, R, Z, Pv, rz, kk, Xb, rrb, kb = s
+        Ap = op32(Pv)
+        denom = jnp.vdot(Pv, Ap)
+        alpha = jnp.where(denom != 0, rz / denom, 0.0)
+        X = X + alpha * Pv
+        R = R - alpha * Ap
+        rr = jnp.vdot(R, R).real
+        better = rr < rrb
+        Xb = jnp.where(better, X, Xb)
+        rrb = jnp.where(better, rr, rrb)
+        kb = jnp.where(better, kk + 1, kb)
+        Z = M32(R)
+        rz_new = jnp.vdot(R, Z)
+        beta = jnp.where(rz != 0, rz_new / rz, 0.0)
+        Pv = Z + beta * Pv
+        return X, R, Z, Pv, rz_new, kk + 1, Xb, rrb, kb
+
+    s0 = (jnp.zeros_like(R0), R0, Z0, Z0, jnp.vdot(R0, Z0),
+          jnp.asarray(0, jnp.int32), jnp.zeros_like(R0),
+          jnp.asarray(1.0, jnp.float32), jnp.asarray(0, jnp.int32))
+    s = jax.lax.while_loop(cond, body, s0)
+    return s[6], s[5], s[7]
+
+
+@partial(jax.jit, static_argnames=("dim", "which", "with_split",
+                                   "monolithic"))
+def _g_pass_apply(u, phi, phi_old, phi_oold, ca64, sc, con, active,
+                  Xb, scale, x_acc, b, *, dim, which, with_split,
+                  monolithic):
+    """f32 -> f64 boundary of one CG pass, fused into one dispatch:
+    un-normalize the pass iterate, apply the EXACT f64 Newton operator
+    MATRIX-FREE (one linearized jvp at the Newton point — f64 element
+    matrices are never built, see solve_newton_system's rationale) and
+    compute the trial residual.  Returns (x_try, r_try, rr_try, jp)
+    with jp = J_pu x_try for which == 'u'."""
+    from ..ops.constraints import condense_residual, expand_update
+
+    x_try = x_acc + Xb.astype(jnp.float64) * scale
+
+    def res64(uu, pp):
+        return physics.assemble_residual(
+            uu, pp, phi_old, phi_oold, ca64, sc,
+            dim=dim, with_split=with_split, monolithic=monolithic)
+
+    zero_u = jnp.zeros(con.dirichlet_u.shape[0], jnp.float64)
+    zero_p = jnp.zeros(con.dirichlet_p.shape[0], jnp.float64)
+    xu = x_try if which == "u" else zero_u
+    xp = zero_p if which == "u" else x_try
+    eu, ep = expand_update(xu, xp, con, active)
+    _, (ju, jp_raw) = jax.jvp(res64, (u, phi), (eu, ep))
+    ju, jp = condense_residual(-ju, -jp_raw, con, active)
+    y = ju if which == "u" else jp
+    r_try = b - y
+    rr_try = jnp.vdot(r_try, r_try).real
+    jp_out = jp if which == "u" else zero_p
+    return x_try, r_try, rr_try, jp_out
+
+
+def solve_split(sys, hier: GalerkinHierarchy, u, phi, phi_old, phi_oold,
+                con, active, rhs_u, rhs_p, with_split, passes=3):
+    """Host-orchestrated restarted-refinement solve on adaptive
+    (hanging-node) meshes with bounded device executions.
+    Mathematically identical to solve_newton_system.  Returns
+    (du, dp, total_its) on the free subspace."""
+    import os
+
+    p = sys.params
+    rtol = p.cg_rtol
+    eps64 = float(np.finfo(np.float64).eps)
+    kw = dict(dim=sys.dim, with_split=with_split,
+              monolithic=sys.monolithic)
+    debug = os.environ.get("CRACKS_TPU_DEBUG_SOLVE") == "1"
+
+    # f32 operator reuse across PDAS tail iterations (same staleness
+    # contract as lattice._solve_split: inexact-Newton delta <= 1e-6)
+    from .lattice import _iter_dist, _scalars_vec
+    cache = getattr(sys, "_split_jac_cache_g", None)
+    sc_vec = _scalars_vec(sys.scalars)
+    jac32 = None
+    if cache is not None:
+        key0, flags0, jac32_c = cache
+        if (flags0 == (with_split, sys.monolithic)
+            and all(a.shape == b.shape for a, b in
+                    zip(key0, (u, phi, phi_old, phi_oold, sc_vec)))):
+            d = float(_iter_dist(u, phi, phi_old, phi_oold, sc_vec,
+                                 *key0))
+            if d <= 1e-6:
+                jac32 = jac32_c
+            if debug:
+                print(f"#     [jac-g "
+                      f"{'reuse' if jac32 is not None else 'rebuild'}:"
+                      f" context moved {d:.1e}]", flush=True)
+        del jac32_c
+    if jac32 is None:
+        sys._split_jac_cache_g = None
+        jac32 = _g_jac32(u, phi, phi_old, phi_oold, sys.ca,
+                         sys.scalars, **kw)
+        sys._split_jac_cache_g = ((u, phi, phi_old, phi_oold, sc_vec),
+                                  (with_split, sys.monolithic), jac32)
+    level_ops = _build_ops(hier.levels, hier.P_embed, jac32, sys.ca,
+                           active, con, dim=sys.dim)
+    total_its = 0
+    last_jp = [None]
+
+    def block(which, b):
+        nonlocal total_its
+        bnorm = float(jnp.sqrt(jnp.vdot(b, b).real))
+        atol_newton = 1e-3 * p.lower_bound_newton_residual
+        target2 = max(rtol * bnorm, atol_newton,
+                      100.0 * eps64 * bnorm) ** 2
+        if bnorm * bnorm <= target2:
+            return jnp.zeros_like(b)
+        target2_d = jnp.asarray(target2)
+        x_acc = jnp.zeros_like(b)
+        r_cur = b
+        rr_cur = bnorm * bnorm
+        setup = None
+        for _ in range(passes):
+            if rr_cur <= target2:
+                break
+            if setup is None:
+                setup = _g_pass_setup(level_ops, r_cur, rtol, target2_d,
+                                      dim=sys.dim, which=which)
+            R0, scale_d, tol2, _rr0 = setup
+            inner_max = 192 if sys.mesh.n_dofs <= 600_000 else 96
+            degree = int(os.environ.get("CRACKS_TPU_CHEB_DEGREE", "2"))
+            Xb, k_d, _rrb = _g_cg_pass32(level_ops, R0, tol2,
+                                         dim=sys.dim, which=which,
+                                         inner_max=inner_max,
+                                         degree=degree)
+            x_try, r_try, rr_try_d, jp_d = _g_pass_apply(
+                u, phi, phi_old, phi_oold, sys.ca, sys.scalars, con,
+                active, Xb, scale_d, x_acc, b, dim=sys.dim,
+                which=which, **{k: v for k, v in kw.items()
+                                if k != "dim"})
+            k_h, rr_try = jax.device_get((k_d, rr_try_d))
+            total_its += int(k_h)
+            rr_try = float(rr_try)
+            if debug:
+                print(f"#   {which}-pass(g): its={int(k_h)} "
+                      f"rrb32={float(_rrb):.3e} "
+                      f"rr {rr_cur:.6e} -> {rr_try:.6e} "
+                      f"(target {target2:.3e})", flush=True)
+            if not np.isfinite(rr_try) or rr_try >= rr_cur:
+                break
+            progress = rr_try / max(rr_cur, 1e-300)
+            x_acc, r_cur = x_try, r_try
+            if which == "u":
+                last_jp[0] = jp_d
+            rr_cur = rr_try
+            setup = None
+            if rr_cur <= target2 or progress > 0.25:
+                break
+        return x_acc
+
+    du = block("u", rhs_u)
+    rhs_p2 = rhs_p if last_jp[0] is None else rhs_p - last_jp[0]
+    dp = block("p", rhs_p2)
+    return du, dp, total_its

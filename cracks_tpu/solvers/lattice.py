@@ -522,8 +522,12 @@ def make_vcycle(levels, lo, hi, k, degree=2, coarse_factor=None,
 # crash the shared TPU worker (observed deterministically at 309k DoFs;
 # PERFORMANCE.md: sustained ~20 s XLA executions kill it), so large
 # problems use the split-dispatch variant: same algorithm, one bounded
-# device call per CG pass / f64 refinement residual.
-FUSED_SOLVE_MAX_DOFS = 150_000
+# device call per CG pass / f64 refinement residual.  The env knob
+# exists for operations and for driving the split paths end-to-end on
+# small problems (set it to 0).
+import os as _os
+FUSED_SOLVE_MAX_DOFS = int(_os.environ.get("CRACKS_TPU_FUSED_MAX_DOFS",
+                                           "150000"))
 
 
 def _blk(which, dim):

@@ -178,12 +178,21 @@ def _solve_assembled(sys, u, phi, phi_old, phi_oold, con, active,
             dim=sys.dim, maxiter=maxiter, chunk=p.cg_chunk)
 
     if getattr(sys, "mixed_precision", False) and ghier is not None:
+        from . import galerkin, lattice
+        if sys.mesh.n_dofs > lattice.FUSED_SOLVE_MAX_DOFS:
+            # bounded device executions at production sizes (the
+            # shared TPU worker kills multi-second fused executions):
+            # host-orchestrated restarted refinement, same algorithm
+            du, dp, its = galerkin.solve_split(
+                sys, ghier, u, phi, phi_old, phi_oold, con, active,
+                rhs_u, rhs_p, with_split)
+            du, dp = expand_update(du, dp, con, active)
+            return du, dp, its
         # ONE device dispatch for the whole solve: f64 element-Jacobian
         # build, f32 Galerkin V-cycle preconditioner, f64 CG with
         # restarted refinement passes (galerkin.solve_newton_system).
         # Dispatch latency through the TPU tunnel is ~100-300 ms, so
         # fusing the solve dominates everything else at small sizes.
-        from . import galerkin
         du, dp, its, _rr = galerkin.solve_newton_system(
             u, phi, phi_old, phi_oold, sys.ca, sys.scalars,
             ghier.levels, ghier.P_embed, con, active, rhs_u, rhs_p,

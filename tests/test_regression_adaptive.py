@@ -81,3 +81,21 @@ def test_miehe_tension_adaptive_prefix(tmp_path):
     sim, _ = run_prm(f"{PRM_DIR}/miehe_tension_adaptive_1.prm",
                      output_dir=str(tmp_path), max_no_timesteps=5)
     _prefix_match(sim, "miehe_tension_adaptive_1.statistics", 6)
+
+
+def test_miehe_shear_1_split_dispatch_parity(tmp_path, monkeypatch):
+    """The production split-dispatch Galerkin solve (galerkin.
+    solve_split — bounded device executions for adaptive meshes at
+    >150k DoFs) must reproduce the fused solve's golden trajectory.
+    Forced at test size via FUSED_SOLVE_MAX_DOFS=0."""
+    from cracks_tpu.solvers import lattice
+    monkeypatch.setattr(lattice, "FUSED_SOLVE_MAX_DOFS", 0)
+    sim, _ = run_prm(f"{PRM_DIR}/miehe_shear_1.prm",
+                     output_dir=str(tmp_path), max_no_timesteps=7,
+                     linear_solver="cg", preconditioner="gmg",
+                     mixed_precision_cg=True)
+    _prefix_match(sim, "miehe_shear_1.statistics", 8)
+    assert sim.sys.galerkin_hierarchy is not None
+    # the split path must actually have engaged (it leaves its
+    # operator cache on the System)
+    assert getattr(sim.sys, "_split_jac_cache_g", None) is not None
