@@ -49,6 +49,10 @@ CASES = {
     "shear2": ("miehe_shear_2.prm", dict(), 19),   # softening from row 19
     "hetero3d": ("hetero_3d_1.prm", dict(), 1),    # softening-ish row 1+
     "threepoint": ("threepoint_1.prm", dict(), 7),  # crack grows at 7-8
+    # the adaptive tension case: softening rows 27-32 carry the widest
+    # overrides in test_regression_adaptive.py — measure their honest
+    # intra-implementation scatter (VERDICT r3 weak #2 / next #7)
+    "tension_adaptive": ("miehe_tension_adaptive_1.prm", dict(), 27),
 }
 
 

@@ -82,6 +82,7 @@ def test_halo_residual_matches_replicated():
     np.testing.assert_allclose(rp, np.asarray(rp_ref), rtol=0, atol=1e-11)
 
 
+@pytest.mark.slow  # golden-grade (~1-5 min); default suite wall-clock budget (VERDICT r3 #8)
 def test_halo_cg_matches_single_device():
     mesh, lam, mu, ca, sc, u0, phi0 = _setup()
     dmesh = _dev_mesh()

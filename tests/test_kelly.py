@@ -158,6 +158,7 @@ def test_hanging_faces_all_matched():
     assert set(slot_counts.values()) <= {1, 2}
 
 
+@pytest.mark.slow  # golden-grade (~1-5 min); default suite wall-clock budget (VERDICT r3 #8)
 def test_3d_linear_zero_and_quadratic_positive():
     _, mesh = _uniform_mesh(2, dim=3)
     A = np.array([[1.0, 0.5, 0.0], [0.0, 2.0, 1.0], [0.3, 0.0, 1.0]])
@@ -175,6 +176,7 @@ def test_3d_linear_zero_and_quadratic_positive():
     assert eta[~interior] == pytest.approx(np.sqrt(per_face), rel=1e-12)
 
 
+@pytest.mark.slow  # golden-grade (~1-5 min); default suite wall-clock budget (VERDICT r3 #8)
 def test_mix_trajectory_regression():
     """Pin the refinement trajectory of a mix-strategy run (the golden
     suite does not exercise 'mix'; this is the repo's own oracle)."""

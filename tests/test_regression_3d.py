@@ -12,6 +12,7 @@ from .regression import PRM_DIR, compare_statistics
 from .test_regression_adaptive import _prefix_match
 
 
+@pytest.mark.slow  # golden-grade (~1-5 min); default suite wall-clock budget (VERDICT r3 #8)
 def test_sneddon_3d_first_step(tmp_path):
     sim, _ = run_prm(f"{PRM_DIR}/sneddon_3d_1.prm", output_dir=str(tmp_path),
                      max_no_timesteps=0)

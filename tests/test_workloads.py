@@ -68,6 +68,7 @@ def test_vtu_output(tmp_path):
     assert os.path.exists(os.path.join(tmp_path, "parameters.prm"))
 
 
+@pytest.mark.slow  # golden-grade (~1-5 min); default suite wall-clock budget (VERDICT r3 #8)
 def test_mix_refinement_strategy():
     """The 'mix' strategy (phase-field flags + Kelly-style indicator +
     fixed-fraction 0.3, cracks.cc:4043-4103) produces sensible flags on
@@ -150,6 +151,7 @@ def test_band_equivalent_to_exact_fixity(tmp_path):
             assert abs(a - b) <= max(1e-6, 1e-7 * abs(b)), (col, a, b)
 
 
+@pytest.mark.slow  # golden-grade (~1-5 min); default suite wall-clock budget (VERDICT r3 #8)
 def test_head_reassembly_skip_bit_identical(tmp_path):
     """The PDAS head's re-assembly skip on unchanged active sets
     (solvers/newton.py _fused_active_set_update can_skip) must be
