@@ -52,9 +52,17 @@ def test_miehe_tension_adaptive_full(tmp_path):
     # beyond numdiff are intrinsic there, not an implementation defect.
     # Observed vs golden: <= 8.5e-3 (row 32, the final softening step),
     # matching the intra-code scatter bound; 1e-2 covers it.
+    #
+    # Phase-aware tolerances (VERDICT r3 #7): the loose 1e-2 bound is
+    # confined to the softening rows 27+; the pre-peak rows are held at
+    # the MEASURED pre-peak scatter with ~3x margin
+    # (scripts/scatter_tension_adaptive.json: Energy <= 4.2e-4 rel,
+    # Load y <= 9.6e-5 rel across cg8/cg10/jacobi/direct).
     compare_statistics(
         sim.statistics.write_text(), "miehe_tension_adaptive_1.statistics",
-        col_overrides={"Energy": (1e-3, 1e-2), "Load": (1e-6, 1e-2)})
+        col_overrides={"Energy": (1e-5, 1.5e-3), "Load": (1e-6, 3e-4)},
+        softening_from=27,
+        softening_overrides={"Energy": (1e-3, 1e-2), "Load": (1e-6, 1e-2)})
 
 
 def test_miehe_shear_1_gmg_iterations(tmp_path):

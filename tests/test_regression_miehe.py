@@ -43,6 +43,14 @@ def test_shear2_full(tmp_path):
     # <= 2e-6 rel on Load (covered by the numdiff tolerances) and the
     # early Crack Energy rel spread (1.6e-2) sits on a ~1e-4 absolute
     # scale, covered by the 1e-3 absolute floor.
+    # Phase-aware (VERDICT r3 #7): the 1e-3 band is confined to the
+    # softening rows 19+; pre-peak rows are held at the measured
+    # pre-peak scatter with margin (Load <= 2e-6 rel -> 1e-5; Bulk
+    # <= 7.1e-5 rel -> 3e-4; Crack's early-row spread is on a ~1e-4
+    # absolute scale, covered by the 1e-3 absolute floor).
     compare_statistics(
         sim.statistics.write_text(), "miehe_shear_2.statistics",
-        col_overrides={"Energy": (1e-3, 1e-3), "Load": (1e-6, 1.3e-3)})
+        col_overrides={"Energy": (1e-3, 3e-4), "Load": (1e-6, 1e-5)},
+        softening_from=19,
+        softening_overrides={"Energy": (1e-3, 1e-3),
+                             "Load": (1e-6, 1.3e-3)})
