@@ -161,26 +161,34 @@ def _run_once(case, refine, dtype, precond, n_steps, dim):
         # steps on the adapted (hanging-node) mesh to stationarity.
         # The warmup run pays all compiles for BOTH mesh epochs; the
         # timed metric is s/step on the FINAL (adapted) mesh.
+        # single process, single run (a separate warm rerun re-pays
+        # the upload storm and has been observed to wedge the shared
+        # worker): the timed metric is s/step on the FINAL (adapted)
+        # mesh, excluding that epoch's first step (which carries the
+        # epoch's compiles).
+        print(f"# adaptive single-run start: refine={refine}",
+              file=sys.stderr, flush=True)
         p = _make_params(case, refine, dtype, precond, 30, dim)
-        simw = Simulation(p, verbose=False)
-        t0 = time.time()
-        simw.run()
-        warm = time.time() - t0
         sim = Simulation(p, verbose=False)
         t0 = time.time()
         sim.run()
         wall = time.time() - t0
+        warm = sim.step_times[0][2] if sim.step_times else wall
         n_dofs = sim.mesh.n_dofs
         final_steps = [t for (_n, d, t) in sim.step_times
                        if d == n_dofs]
         if not final_steps:
             raise RuntimeError("adaptive bench: no steps on the "
                                "adapted mesh")
+        if len(final_steps) > 1:
+            final_steps = final_steps[1:]
         per_step = sum(final_steps) / len(final_steps)
         # uniform-epoch comparison (VERDICT: adaptive step <= 2x the
         # uniform step at equal DoFs): per-step seconds per MDoF on
         # the pre-refinement uniform mesh vs the adapted mesh
         uni = [(d, t) for (_n, d, t) in sim.step_times if d != n_dofs]
+        if len(uni) > 1:
+            uni = uni[1:]   # drop the compile-laden first step
         if uni:
             uni_per_mdof = (sum(t for _d, t in uni) / len(uni)
                             / (uni[0][0] / 1e6))
@@ -193,10 +201,35 @@ def _run_once(case, refine, dtype, precond, n_steps, dim):
         bulk = sim.statistics.data["Bulk Energy"][-1]
         return n_dofs, warm, wall, per_step, len(final_steps), bulk
 
+    if case == "hetero_3d":
+        # single process, single run: the predictor-corrector trajectory
+        # visits a NEW mesh epoch per refinement, so a separate "warm"
+        # rerun just re-pays the full upload/compile storm — observed to
+        # wedge the shared TPU worker even on an idle host.  Report the
+        # mean over the steps after the first (the first step carries
+        # most compiles); per-epoch XLA compile overhead on later
+        # refinements stays included, which is conservative against us.
+        print(f"# hetero_3d single-run start: refine={refine}",
+              file=sys.stderr, flush=True)
+        p = _make_params(case, refine, dtype, precond,
+                         max(n_steps + 1, 3), dim)
+        sim = Simulation(p, verbose=False)
+        t0 = time.time()
+        sim.run()
+        wall = time.time() - t0
+        n_dofs = sim.mesh.n_dofs
+        times = [t for (_n, _d, t) in sim.step_times]
+        tail = times[1:] if len(times) > 1 else times
+        per_step = sum(tail) / len(tail)
+        bulk = sim.statistics.data["Bulk Energy"][-1]
+        return n_dofs, times[0], wall, per_step, len(tail), bulk
+
     if case == "miehe_shear":
         # no separate warmup: the 25-step trajectory amortizes its own
         # compiles; report the mean over the last 20 steps (the first
         # steps carry the compile cost) plus the full-run wall clock
+        print(f"# trajectory start: case=miehe_shear refine={refine}",
+              file=sys.stderr, flush=True)
         p = _make_params(case, refine, dtype, precond, n_steps, dim)
         sim = Simulation(p, verbose=False)
         t0 = time.time()
@@ -211,12 +244,16 @@ def _run_once(case, refine, dtype, precond, n_steps, dim):
 
     # warmup run (1 step): pays all JIT compilation (persistently
     # cached)
+    print(f"# warmup start: case={case} refine={refine}",
+          file=sys.stderr, flush=True)
     p1 = _make_params(case, refine, dtype, precond, 1, dim)
     sim = Simulation(p1, verbose=False)
     t0 = time.time()
     sim.run()
     warm = time.time() - t0
     n_dofs = sim.mesh.n_dofs
+    print(f"# warmup done: {n_dofs} dofs in {warm:.1f}s; timed run "
+          f"starting", file=sys.stderr, flush=True)
 
     # timed run: compiles come from the cache, so wall/steps is the
     # steady-state per-step cost (including mesh/setup amortized)
@@ -229,7 +266,7 @@ def _run_once(case, refine, dtype, precond, n_steps, dim):
     return n_dofs, warm, wall, wall / n_steps, n_steps, bulk
 
 
-def main():
+def _resolve_config():
     case = os.environ.get("BENCH_CASE", "sneddon")
     dim = int(os.environ.get("BENCH_DIM", "2"))
     if case == "hetero_3d":
@@ -246,28 +283,12 @@ def main():
             and "CRACKS_TPU_SNEDDON_REPS" not in os.environ):
         # 11^3 roots x refine 2 = 85,184 cells, 364k DoFs (>= 300k)
         os.environ["CRACKS_TPU_SNEDDON_REPS"] = "11"
-    if os.environ.get("BENCH_WAIT_DEVICE", "1") == "1":
-        _wait_for_device()
+    return case, dim, refine, n_steps, dtype, precond
 
-    # the shared TPU worker occasionally crashes/restarts under
-    # sustained load; retry, then fall back to a smaller problem
-    attempts = [(refine, 0), (refine, 120), (max(refine - 1, 1), 120)]
-    last_err = None
-    for r, pause in attempts:
-        if pause:
-            time.sleep(pause)
-        try:
-            (n_dofs, warm, wall, per_step, counted,
-             bulk) = _run_once(case, r, dtype, precond, n_steps, dim)
-            break
-        except Exception as e:  # worker crash -> retry / shrink
-            last_err = e
-            msg = str(e).split("\n")[0][:300]
-            print(f"# attempt refine={r} failed: {type(e).__name__}: {msg}",
-                  file=sys.stderr)
-    else:
-        raise last_err
 
+def _attempt(case, dim, refine, n_steps, dtype, precond):
+    (n_dofs, warm, wall, per_step, counted,
+     bulk) = _run_once(case, refine, dtype, precond, n_steps, dim)
     baseline_s_per_step = 15.0 * (n_dofs / 3.0e5)  # see module docstring
     tag = {"sneddon": f"sneddon{dim}d",
            "hetero_3d": "hetero3d",
@@ -279,10 +300,51 @@ def main():
         "unit": "s",
         "vs_baseline": round(baseline_s_per_step / per_step, 3),
     }
-    print(json.dumps(result))
+    print(json.dumps(result), flush=True)
     print(f"# case={case} dim={dim} dofs={n_dofs} steps={counted} "
           f"dtype={dtype} precond={precond} warmup={warm:.1f}s "
           f"timed={wall:.1f}s bulk_energy={bulk:.6e}", file=sys.stderr)
+
+
+def main():
+    case, dim, refine, n_steps, dtype, precond = _resolve_config()
+    if os.environ.get("BENCH_WORKER") == "1":
+        # child: one attempt, result JSON on stdout
+        _attempt(case, dim, refine, n_steps, dtype, precond)
+        return
+    if os.environ.get("BENCH_WAIT_DEVICE", "1") == "1":
+        _wait_for_device()
+
+    # The shared TPU worker dies stochastically (own load, noisy
+    # neighbours) and a client blocked on the dead tunnel HANGS forever
+    # rather than raising, so every attempt runs in a SUBPROCESS with a
+    # hard timeout; retry, then fall back to a smaller problem.
+    attempt_timeout = int(os.environ.get("BENCH_ATTEMPT_TIMEOUT", "4500"))
+    attempts = [(refine, 0), (refine, 120), (max(refine - 1, 1), 120)]
+    for r, pause in attempts:
+        if pause:
+            time.sleep(pause)
+        env = dict(os.environ, BENCH_WORKER="1", BENCH_REFINE=str(r))
+        try:
+            res = subprocess.run([sys.executable, "-u",
+                                  os.path.abspath(__file__)],
+                                 env=env, timeout=attempt_timeout,
+                                 stdout=subprocess.PIPE)
+        except subprocess.TimeoutExpired:
+            print(f"# attempt refine={r} timed out after "
+                  f"{attempt_timeout}s (worker hang) — retrying",
+                  file=sys.stderr)
+            _wait_for_device()
+            continue
+        out = res.stdout.decode()
+        lines = [ln for ln in out.splitlines() if ln.startswith('{"')]
+        if res.returncode == 0 and lines:
+            print(lines[-1])
+            return
+        print(f"# attempt refine={r} failed rc={res.returncode}",
+              file=sys.stderr)
+        _wait_for_device()
+    raise RuntimeError("all bench attempts failed")
 
 
 if __name__ == "__main__":

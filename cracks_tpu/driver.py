@@ -435,7 +435,13 @@ class Simulation:
         transfer {solution, old, old_old}, re-setup."""
         flags = self._refine_flags(state)
         if not flags.any():
-            # balance may still induce work only if flags exist
+            # No-op detection (cracks.cc:4118-4135 reduces any-flags over
+            # ranks; single-controller here, so a plain any()).  Early
+            # return is sound because balancing is CLOSED over no-ops:
+            # the forest is 2:1-balanced after every refine_and_transfer
+            # (mesh.Forest balances before extraction), and a balanced
+            # forest with zero new flags stays balanced — balance can
+            # only induce work downstream of at least one genuine flag.
             return False
         dim = self.mesh.dim
         fields = [np.asarray(state.u).reshape(-1, dim), np.asarray(state.phi),

@@ -957,7 +957,7 @@ def _g_pass_apply(u, phi, phi_old, phi_oold, ca64, sc, con, active,
 
 
 def solve_split(sys, hier: GalerkinHierarchy, u, phi, phi_old, phi_oold,
-                con, active, rhs_u, rhs_p, with_split, passes=3):
+                con, active, rhs_u, rhs_p, with_split, passes=16):
     """Host-orchestrated restarted-refinement solve on adaptive
     (hanging-node) meshes with bounded device executions.
     Mathematically identical to solve_newton_system.  Returns
@@ -1022,7 +1022,16 @@ def solve_split(sys, hier: GalerkinHierarchy, u, phi, phi_old, phi_oold,
                 setup = _g_pass_setup(level_ops, r_cur, rtol, target2_d,
                                       dim=sys.dim, which=which)
             R0, scale_d, tol2, _rr0 = setup
-            inner_max = 192 if sys.mesh.n_dofs <= 600_000 else 96
+            # Bound the single-dispatch execution hard: a Galerkin CG
+            # iteration (gather matvec + gather V-cycle) costs several
+            # times a lattice iteration, and the shared TPU worker
+            # dies on ~10-20 s executions (PERFORMANCE.md).  192-it
+            # passes were observed to kill it deterministically on the
+            # hetero-3d mesh at 130k DoFs (step >= 2, where the solve
+            # actually needs the iterations); 32-it passes keep every
+            # execution bounded — restarts only cost the Krylov memory,
+            # which the f64 refinement pass structure absorbs anyway.
+            inner_max = int(os.environ.get("CRACKS_TPU_G_INNER", "32"))
             degree = int(os.environ.get("CRACKS_TPU_CHEB_DEGREE", "2"))
             Xb, k_d, _rrb = _g_cg_pass32(level_ops, R0, tol2,
                                          dim=sys.dim, which=which,
@@ -1049,7 +1058,12 @@ def solve_split(sys, hier: GalerkinHierarchy, u, phi, phi_old, phi_oold,
                 last_jp[0] = jp_d
             rr_cur = rr_try
             setup = None
-            if rr_cur <= target2 or progress > 0.25:
+            # progress > 0.25 on a pass that did NOT exhaust its
+            # iteration cap means genuine stagnation (the f32 floor);
+            # a capped pass simply needs more passes — the cap only
+            # bounds the single-dispatch execution time.
+            if rr_cur <= target2 or (progress > 0.25
+                                     and int(k_h) < inner_max):
                 break
         return x_acc
 
