@@ -999,6 +999,10 @@ def solve_split(sys, hier: GalerkinHierarchy, u, phi, phi_old, phi_oold,
                                   (with_split, sys.monolithic), jac32)
     level_ops = _build_ops(hier.levels, hier.P_embed, jac32, sys.ca,
                            active, con, dim=sys.dim)
+    if os.environ.get("CRACKS_TPU_SYNC", "1") == "1":
+        # join the stream after the heavy operator build: deep async
+        # dispatch queues wedge the tunnel (see newton.py _tick)
+        jax.block_until_ready(level_ops)
     total_its = 0
     last_jp = [None]
 

@@ -816,14 +816,18 @@ def _solve_split(sys, hier: LatticeHierarchy, u, phi, phi_old, phi_oold,
     import os
     import time as _wt
     debug = os.environ.get("CRACKS_TPU_DEBUG_SOLVE") == "1"
+    sync_t = os.environ.get("CRACKS_TPU_SYNC", "1") == "1"
 
     def _tick(label, x):
-        """Debug-only sync + wall-clock print per dispatch."""
+        """Per-dispatch sync (+ wall-clock print in debug mode) —
+        deep async queues wedge the tunnel (see newton.py)."""
         if debug:
             t0 = _wt.perf_counter()
             jax.block_until_ready(x)
             print(f"#     [{label}: {_wt.perf_counter() - t0:6.2f}s]",
                   flush=True)
+        elif sync_t:
+            jax.block_until_ready(x)
         return x
 
     # Operator reuse across PDAS tail iterations: the element Jacobians

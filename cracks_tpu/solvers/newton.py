@@ -448,14 +448,22 @@ def newton_active_set(sys, state, time: float, verbose: bool = True):
     import time as _wt
     debug_as = os.environ.get("CRACKS_TPU_DEBUG_AS") == "1"
     debug_t = os.environ.get("CRACKS_TPU_DEBUG_SOLVE") == "1"
+    # Phase-boundary sync, DEFAULT ON: the axon tunnel/worker wedges
+    # under deep async dispatch queues (instrumented runs with
+    # per-phase block_until_ready completed 3/3 where the identical
+    # un-synced runs hung 4/4).  The phases are data-dependent anyway,
+    # so joining the stream costs nothing measurable.
+    sync_t = os.environ.get("CRACKS_TPU_SYNC", "1") == "1"
 
     def _tick(label, x):
-        """Debug-only sync + wall-clock print per Newton phase."""
+        """Per-phase sync (+ wall-clock print in debug mode)."""
         if debug_t:
             t0 = _wt.perf_counter()
             jax.block_until_ready(x)
             print(f"#     [{label}: {_wt.perf_counter() - t0:6.2f}s]",
                   flush=True)
+        elif sync_t:
+            jax.block_until_ready(x)
         return x
 
     cycle_counter = np.zeros(n_v, dtype=np.int64)
