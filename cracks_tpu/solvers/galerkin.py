@@ -43,6 +43,7 @@ GMG as uniform ones.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import NamedTuple
 
@@ -264,6 +265,7 @@ class _LevelOps(NamedTuple):
     # weights cast to the jac dtype
     hang_u: tuple              # (child, masters, weights)
     hang_p: tuple
+    rng: jax.Array             # Chebyshev smoothing range for this op
 
 
 def _matvec(jac, gather, x, lo, hi):
@@ -329,10 +331,42 @@ def _gershgorin_lambda_max(jac, gather, free, Dinv, lo, hi, hang=None):
     return jnp.max(jnp.where(free, s * jnp.abs(Dinv), 0.0))
 
 
+def _lambda_est(jac, gather, free, Dinv, lo, hi, hang=None,
+                sharp: bool = False):
+    """lambda_max(D^{-1} A) for the Chebyshev smoother.  With sharp
+    (the production spectral-window regime, multigrid.sharp_spectrum):
+    an m-step Lanczos estimate — immune to the localized-crack-strip
+    failure that rules out plain power iteration, see
+    _gershgorin_lambda_max's docstring — capped by the deterministic
+    Gershgorin bound (pure safety: a Ritz value cannot exceed the true
+    lambda_max, which Gershgorin bounds from above), falling back to
+    Gershgorin when the Lanczos readout is non-finite (empty free
+    sets).  Without sharp: the Gershgorin bound (golden-size regime)."""
+    ger = _gershgorin_lambda_max(jac, gather, free, Dinv, lo, hi, hang)
+    if not sharp:
+        return ger
+    from .multigrid import lanczos_lambda_max
+    # symmetrized operator (J + J^T)/2: with the spectral split in the
+    # matrix the u block is nonsymmetric, and Lanczos on the symmetric
+    # part bounds the real field of values — the quantity the Chebyshev
+    # window must cover.  H^T A^T H is reached by transposing the
+    # element matrices (the gather/scatter structure is self-adjoint).
+    op = _masked_op(jac, gather, free, lo, hi, hang)
+    opT = _masked_op(jnp.swapaxes(jac, 0, 1), gather, free, lo, hi,
+                     hang)
+    lam = lanczos_lambda_max(lambda x: 0.5 * (op(x) + opT(x)), Dinv,
+                             free)
+    ok = jnp.isfinite(lam) & (lam > 0)
+    return jnp.where(ok, jnp.minimum(lam, ger), ger)
+
+
 def build_level_ops(hier: GalerkinHierarchy, jac_fine, ca_fine, active,
-                    con_f, *, dim: int):
+                    con_f, *, dim: int, sharp: bool = False):
     """Per-level operator data, coarsest..finest, for both blocks.
-    con_f is the finest mesh's Constraints bundle."""
+    con_f is the finest mesh's Constraints bundle.  sharp selects the
+    spectral-window regime (multigrid.sharp_spectrum policy)."""
+    from .multigrid import smoothing_range
+    rng = jnp.asarray(smoothing_range(sharp), jac_fine.dtype)
     nvc = 2 ** dim
     nud_l = nvc * dim
     levels = hier.levels
@@ -357,18 +391,18 @@ def build_level_ops(hier: GalerkinHierarchy, jac_fine, ca_fine, active,
                                      n_ud, n_p, dim=dim)
         Dinv_u = jnp.where(free_u & (jnp.abs(du) > 0), 1.0 / du, 1.0)
         Dinv_p = jnp.where(free_p & (jnp.abs(dp) > 0), 1.0 / dp, 1.0)
-        lam_u = _gershgorin_lambda_max(jac, lvl.gather_u, free_u,
-                                       Dinv_u, 0, nud_l, hang_u)
-        lam_p = _gershgorin_lambda_max(jac, lvl.gather_p, free_p,
-                                       Dinv_p, nud_l, nud_l + nvc,
-                                       hang_p)
+        lam_u = _lambda_est(jac, lvl.gather_u, free_u,
+                            Dinv_u, 0, nud_l, hang_u, sharp=sharp)
+        lam_p = _lambda_est(jac, lvl.gather_p, free_p,
+                            Dinv_p, nud_l, nud_l + nvc,
+                            hang_p, sharp=sharp)
         out.append(_LevelOps(jac, lvl.gather_u, lvl.gather_p, free_u,
                              free_p, Dinv_u, Dinv_p, lam_u, lam_p,
                              lvl.up_masters_u,
                              lvl.up_weights_u.astype(jac.dtype),
                              lvl.up_masters_p,
                              lvl.up_weights_p.astype(jac.dtype),
-                             hang_u, hang_p))
+                             hang_u, hang_p, rng))
 
     # finest level
     hang_u_f = _hang_of(con_f, "u")
@@ -380,13 +414,15 @@ def build_level_ops(hier: GalerkinHierarchy, jac_fine, ca_fine, active,
     du, dp = assembled.diagonals(jac_fine, ca_fine, n_ud_f, n_p_f, dim=dim)
     Dinv_u = jnp.where(free_u_f & (jnp.abs(du) > 0), 1.0 / du, 1.0)
     Dinv_p = jnp.where(free_p_f & (jnp.abs(dp) > 0), 1.0 / dp, 1.0)
-    lam_u = _gershgorin_lambda_max(jac_fine, ca_fine.gather_u, free_u_f,
-                                   Dinv_u, 0, nud_l, hang_u_f)
-    lam_p = _gershgorin_lambda_max(jac_fine, ca_fine.gather_p, free_p_f,
-                                   Dinv_p, nud_l, nud_l + nvc, hang_p_f)
+    lam_u = _lambda_est(jac_fine, ca_fine.gather_u, free_u_f,
+                        Dinv_u, 0, nud_l, hang_u_f, sharp=sharp)
+    lam_p = _lambda_est(jac_fine, ca_fine.gather_p, free_p_f,
+                        Dinv_p, nud_l, nud_l + nvc, hang_p_f,
+                        sharp=sharp)
     out.append(_LevelOps(jac_fine, ca_fine.gather_u, ca_fine.gather_p,
                          free_u_f, free_p_f, Dinv_u, Dinv_p, lam_u, lam_p,
-                         None, None, None, None, hang_u_f, hang_p_f))
+                         None, None, None, None, hang_u_f, hang_p_f,
+                         rng))
     return tuple(out)
 
 
@@ -467,7 +503,7 @@ def make_vcycle(level_ops: tuple, *, dim: int, which: str,
             x = (cho_scale * jax.scipy.linalg.cho_solve(cho, bs)
                  ).astype(b.dtype)
             return jnp.where(free, x, 0.0)
-        x = _chebyshev(op, Dinv, b, lam, degree)
+        x = _chebyshev(op, Dinv, b, lam, degree, rng=lv.rng)
         r = b - op(x)
         lvc = level_ops[l - 1]
         mast = lvc.up_masters_u if which == "u" else lvc.up_masters_p
@@ -481,7 +517,7 @@ def make_vcycle(level_ops: tuple, *, dim: int, which: str,
         e_full = _hinterp(e_c, hang_c)
         x = x + jnp.where(free, _prolong(e_full, mast, wts), 0.0)
         r = b - op(x)
-        x = x + _chebyshev(op, Dinv, r, lam, degree)
+        x = x + _chebyshev(op, Dinv, r, lam, degree, rng=lv.rng)
         return x
 
     return lambda b: cycle(L - 1, b)
@@ -545,7 +581,10 @@ def solve_newton_system(u, phi, phi_old, phi_oold, ca64, sc, levels,
         return condense_residual(-ju, -jp, con, active)
 
     hier = GalerkinHierarchy(levels=levels, P_embed=P_embed, dim=dim)
-    level_ops = build_level_ops(hier, jac32, ca64, active, con, dim=dim)
+    from .multigrid import sharp_spectrum
+    level_ops = build_level_ops(
+        hier, jac32, ca64, active, con, dim=dim,
+        sharp=sharp_spectrum(int(active.shape[0]) * (dim + 1)))
     nvc = 2 ** dim
     nud_l = nvc * dim
     eps64 = float(jnp.finfo(jnp.float64).eps)
@@ -654,8 +693,12 @@ def solve_newton_system(u, phi, phi_old, phi_oold, ca64, sc, levels,
 @partial(jax.jit, static_argnames=("dim",))
 def _build_ops(levels, P_embed, jac_fine, ca_fine, active, con,
                *, dim: int):
+    from .multigrid import sharp_spectrum
     hier = GalerkinHierarchy(levels=levels, P_embed=P_embed, dim=dim)
-    return build_level_ops(hier, jac_fine, ca_fine, active, con, dim=dim)
+    return build_level_ops(hier, jac_fine, ca_fine, active, con,
+                           dim=dim,
+                           sharp=sharp_spectrum(
+                               int(active.shape[0]) * (dim + 1)))
 
 
 @partial(jax.jit, static_argnames=("dim", "which", "chunk", "degree",

@@ -249,6 +249,76 @@ def gershgorin(jacL, free, Dinv, lo, hi, k, grid):
     return jnp.max(jnp.where(free, s * jnp.abs(Dinv), 0.0))
 
 
+def lanczos_lambda(jacL, free, Dinv, lo, hi, k, grid, m: int = 10):
+    """Sharp lambda_max(D^-1 A) estimate on the free subspace: m-step
+    Lanczos on the symmetrized operator S = D^(-1/2) A D^(-1/2), top
+    Ritz value readout.
+
+    The element-overcounted Gershgorin bound above overestimates the
+    true lambda_max of the Jacobi-scaled FEM blocks by ~1.5-2.3x
+    (measured refine 3: u block 5.0 vs exact 2.17, p block 1.95 vs
+    1.48), which stretches the Chebyshev smoothing window
+    [lam/20, 1.2 lam] past the spectrum and wastes most of the
+    polynomial's damping on modes that do not exist.  Plain power
+    iteration is NOT enough: the p block is mass-dominated with a
+    clustered top spectrum, and 12 power steps sit at 0.44x the true
+    lambda_max — a Chebyshev window that far below the spectrum top
+    AMPLIFIES the excluded modes and diverges the V-cycle (measured:
+    5x the Newton iterations).  Lanczos reaches the same clustered
+    extreme in ~10 steps (measured <=1.5% low on every level/block);
+    make_vcycle's 1.2 factor covers the residual gap.  This is the
+    estimate-then-smooth structure of the reference's ML Chebyshev
+    setup (per-level eigen-analysis, cracks.cc:2477-2497), and of
+    deal.II's own PreconditionChebyshev (CG-based Lanczos estimate).
+    Loss of orthogonality in f32 only duplicates converged Ritz values,
+    which is harmless for a max readout.  Cost: m masked lattice
+    matvecs per level per Newton solve, amortized over the CG passes."""
+    dtype = Dinv.dtype
+    sq = jnp.sqrt(jnp.abs(Dinv))
+    # Lanczos needs a symmetric operator; with the spectral split in
+    # the matrix the u block is NONSYMMETRIC (the linearized Miehe
+    # split dsigma+ is not self-adjoint, ops/spectral.py), so run on
+    # the symmetric part (J + J^T)/2 — its lambda_max bounds the real
+    # field of values, which is the quantity the Chebyshev window must
+    # cover.  For symmetric blocks J^T == J and this is a no-op.
+    jacT = jnp.swapaxes(jacL, 0, 1)
+
+    def S(x):
+        xs = jnp.where(free, sq * x, 0.0)
+        y = 0.5 * (matvec(jacL, xs, lo, hi, k)
+                   + matvec(jacT, xs, lo, hi, k))
+        return jnp.where(free, sq * y, 0.0)
+
+    idx = sum(jnp.indices(tuple(grid), dtype=jnp.int32))
+    sign = jnp.where(idx % 2 == 0, 1.0, -1.0).astype(dtype)
+    v = jnp.where(free, sign[None], 0.0)
+    n0 = jnp.sqrt(jnp.vdot(v, v).real)
+    v = jnp.where(n0 > 0, v / jnp.maximum(n0, 1e-30), v)
+
+    def body(i, carry):
+        v_prev, v, beta, alphas, betas = carry
+        w = S(v) - beta * v_prev
+        alpha = jnp.vdot(v, w).real
+        w = w - alpha * v
+        beta_new = jnp.sqrt(jnp.vdot(w, w).real)
+        v_new = jnp.where(beta_new > 0,
+                          w / jnp.maximum(beta_new, 1e-30), w)
+        return (v, v_new, beta_new, alphas.at[i].set(alpha),
+                betas.at[i].set(beta_new))
+
+    zeros = jnp.zeros((m,), dtype)
+    carry = (jnp.zeros_like(v), v, jnp.asarray(0.0, dtype), zeros, zeros)
+    _, _, _, alphas, betas = jax.lax.fori_loop(0, m, body, carry,
+                                               unroll=True)
+    T = (jnp.diag(alphas) + jnp.diag(betas[:-1], 1)
+         + jnp.diag(betas[:-1], -1))
+    lam = jnp.max(jnp.linalg.eigvalsh(T.astype(jnp.float32))).astype(
+        dtype)
+    ok = jnp.isfinite(lam) & (lam > 0)
+    return jnp.where(ok, lam,
+                     gershgorin(jacL, free, Dinv, lo, hi, k, grid))
+
+
 def coarsen(jacL, P_embed):
     """Galerkin element-RAP one level down on the lattice:
     (ndl, ndl, *cg) -> (ndl, ndl, *(cg//2)).
@@ -381,9 +451,9 @@ def build_lattice_hierarchy(mesh, lay: LatticeLayout, dirichlet_fn,
 # the fused lattice solve
 # ---------------------------------------------------------------------------
 
-def _chebyshev(op, Dinv, b, lam_max, degree):
+def _chebyshev(op, Dinv, b, lam_max, degree, rng=20.0):
     upper = 1.2 * lam_max
-    lower = lam_max / 20.0
+    lower = lam_max / rng
     theta = 0.5 * (upper + lower)
     delta = 0.5 * (upper - lower)
     r = b
@@ -405,11 +475,18 @@ class _LOps(NamedTuple):
     free: jax.Array
     Dinv: jax.Array
     lam: jax.Array
+    rng: jax.Array      # Chebyshev smoothing range paired with lam
 
 
 def _build_block_levels(jacs, dir_u, dir_p, grid, active_L, lo, hi,
-                        k, which):
-    """Per-level (_LOps coarsest..finest) for one block."""
+                        k, which, sharp: bool = False):
+    """Per-level (_LOps coarsest..finest) for one block.
+
+    sharp selects the spectral-window regime (multigrid.sharp_spectrum
+    policy): Lanczos lambda_max + smoothing range 4 at production
+    sizes, the Gershgorin bound + range 20 at golden sizes."""
+    from .multigrid import smoothing_range
+    rng = jnp.asarray(smoothing_range(sharp), jacs[0].dtype)
     out = []
     for l in range(len(jacs)):
         jac = jacs[l]
@@ -426,8 +503,12 @@ def _build_block_levels(jacs, dir_u, dir_p, grid, active_L, lo, hi,
             free = ~dmask & jnp.ones((k,) + g, bool)
         d = block_diag(jac, lo, hi, k, g)
         Dinv = jnp.where(free & (jnp.abs(d) > 0), 1.0 / d, 1.0)
-        lam = gershgorin(jac, free, Dinv, lo, hi, k, g)
-        out.append(_LOps(jac=jac, free=free, Dinv=Dinv, lam=lam))
+        if sharp:
+            lam = lanczos_lambda(jac, free, Dinv, lo, hi, k, g)
+        else:
+            lam = gershgorin(jac, free, Dinv, lo, hi, k, g)
+        out.append(_LOps(jac=jac, free=free, Dinv=Dinv, lam=lam,
+                         rng=rng))
     return out
 
 
@@ -505,14 +586,14 @@ def make_vcycle(levels, lo, hi, k, degree=2, coarse_factor=None,
             return jnp.where(lv.free, x, 0.0)
         op = (fine_op if (fine_op is not None and l == L - 1)
               else _masked_mv(lv, lo, hi, k))
-        x = _chebyshev(op, lv.Dinv, b, lv.lam, degree)
+        x = _chebyshev(op, lv.Dinv, b, lv.lam, degree, lv.rng)
         r = b - op(x)
         r_c = restrict(r, k)
         e_c = cycle(l - 1, r_c)
         g = lv.free.shape[1:]
         x = x + jnp.where(lv.free, prolong(e_c, g, k), 0.0)
         r = b - op(x)
-        x = x + _chebyshev(op, lv.Dinv, r, lv.lam, degree)
+        x = x + _chebyshev(op, lv.Dinv, r, lv.lam, degree, lv.rng)
         return x
 
     return lambda b: cycle(L - 1, b)
@@ -528,6 +609,12 @@ def make_vcycle(levels, lo, hi, k, degree=2, coarse_factor=None,
 import os as _os
 FUSED_SOLVE_MAX_DOFS = int(_os.environ.get("CRACKS_TPU_FUSED_MAX_DOFS",
                                            "150000"))
+# Spectral-window regime (Lanczos+range4 vs Gershgorin+range20) is
+# keyed on problem size — multigrid.sharp_spectrum has the policy and
+# the measured ladder (refine 4, total CG its over 2 load steps:
+# Gershgorin+range20 109 -> Lanczos+range20 84 -> +range8 66 ->
+# +range4 56 -> +range2 58; range 4 keeps margin for rough-coefficient
+# split/hetero operators).
 
 
 def _blk(which, dim):
@@ -580,9 +667,11 @@ def _prepare(u, phi, phi_old, phi_oold, caL32, sc, P_embed, *, grid,
     return tuple(jacs)
 
 
-@partial(jax.jit, static_argnames=("grid", "which", "dim", "pallas"))
+@partial(jax.jit, static_argnames=("grid", "which", "dim", "pallas",
+                                   "sharp"))
 def _prepare_levels(jacs, dir_u, dir_p, vert_pos, active, *, grid,
-                    which: str, dim: int, pallas: bool = False):
+                    which: str, dim: int, pallas: bool = False,
+                    sharp: bool = False):
     """Per-block level operator data + the coarse dense factor, built
     ONCE per Newton solve (not per restart pass).  With pallas=True the
     finest-level jac block is additionally laid out in the Pallas
@@ -595,7 +684,8 @@ def _prepare_levels(jacs, dir_u, dir_p, vert_pos, active, *, grid,
     active_L = jnp.zeros((nvert,), bool).at[vert_pos].set(
         active).reshape((1,) + tuple(grid))
     levels = _build_block_levels(list(jacs), dir_u, dir_p, grid,
-                                 active_L, lo, hi, k, which)
+                                 active_L, lo, hi, k, which,
+                                 sharp=sharp)
     (cho_c, _lower), scale = _coarse_dense_factor(levels[0], lo, hi, k)
     # drop the python bool from cho_factor's return (it cannot cross the
     # jit boundary); cho_solve is reconstructed with lower=False
@@ -910,9 +1000,11 @@ def _solve_split(sys, hier: LatticeHierarchy, u, phi, phi_old, phi_oold,
                 and lv_cache[0] is jacs and lv_cache[1] == use_pallas:
             levels, coarse32, fine_pad = lv_cache[2]
         else:
+            from .multigrid import sharp_spectrum
             levels, coarse32, fine_pad = _prepare_levels(
                 jacs, hier.dir_u, hier.dir_p, hier.vert_pos, active,
-                grid=grid, which=which, dim=sys.dim, pallas=use_pallas)
+                grid=grid, which=which, dim=sys.dim, pallas=use_pallas,
+                sharp=sharp_spectrum(sys.mesh.n_dofs))
             if which == "u":
                 sys._split_levels_cache = (
                     jacs, use_pallas, (levels, coarse32, fine_pad))
@@ -1062,9 +1154,11 @@ def _solve_newton_system(u, phi, phi_old, phi_oold, ca64, caL32, sc,
     zero_p = jnp.zeros_like(rhs_p)
 
     def block_solve(which, b):
+        from .multigrid import sharp_spectrum
         k, lo, hi = _blk(which, dim)
-        levels = _build_block_levels(jacs, dir_u, dir_p, grid, active_L,
-                                     lo, hi, k, which)
+        levels = _build_block_levels(
+            jacs, dir_u, dir_p, grid, active_L, lo, hi, k, which,
+            sharp=sharp_spectrum(int(np.prod(grid)) * (dim + 1)))
         fin = levels[-1]
         M32 = make_vcycle(levels, lo, hi, k, degree=degree)
         op32 = _masked_mv(fin, lo, hi, k)
@@ -1280,16 +1374,17 @@ def _prepare64_lat(U, P, P_old, P_oold, caL64, sc, *, grid, dim,
     return _maybe_shard_jacs([jac], ns_jac)[0]
 
 
-@partial(jax.jit, static_argnames=("grid", "which", "dim"))
+@partial(jax.jit, static_argnames=("grid", "which", "dim", "sharp"))
 def _prepare_levels_lat(jacs, dir_u, dir_p, active_pad, *, grid,
-                        which: str, dim: int):
+                        which: str, dim: int, sharp: bool = False):
     """Per-block level operator data from a (padded) lattice-layout
     active mask (sharded-DoF variant of _prepare_levels; no Pallas —
     the custom call does not partition under GSPMD)."""
     k, lo, hi = _blk(which, dim)
     active_L = _unpad_rows(active_pad, grid[0])
     levels = _build_block_levels(list(jacs), dir_u, dir_p, grid,
-                                 active_L, lo, hi, k, which)
+                                 active_L, lo, hi, k, which,
+                                 sharp=sharp)
     (cho_c, _lower), scale = _coarse_dense_factor(levels[0], lo, hi, k)
     coarse32 = (cho_c.astype(jnp.float32), scale.astype(jnp.float32))
     return tuple(levels), coarse32
@@ -1414,9 +1509,11 @@ def _solve_split_lat(sys, hier: LatticeHierarchy, U, P, P_old, P_oold,
         if which == "u" and lv_cache is not None and lv_cache[0] is jacs:
             levels, coarse32 = lv_cache[1]
         else:
+            from .multigrid import sharp_spectrum
             levels, coarse32 = _prepare_levels_lat(
                 jacs, hier.dir_u, hier.dir_p, active, grid=grid,
-                which=which, dim=sys.dim)
+                which=which, dim=sys.dim,
+                sharp=sharp_spectrum(sys.mesh.n_dofs))
             if which == "u":
                 sys._split_levels_cache_lat = (jacs, (levels, coarse32))
         fin_free = levels[-1].free
