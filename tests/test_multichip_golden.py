@@ -147,3 +147,44 @@ def test_sneddon_3d_split_solve_np1_equals_np8(tmp_path, monkeypatch):
     diff = np.abs(rows1 - rows8)
     rel = diff / np.maximum(np.abs(rows1), 1e-300)
     assert ((diff <= 1e-6) | (rel <= 1e-8)).all(), (rows1, rows8)
+
+
+def test_adaptive_amr_np1_equals_np8(tmp_path):
+    """Post-AMR repartitioning: an ADAPTIVE (predictor-corrector) run
+    with the element arrays sharded over 8 devices must reproduce the
+    single-device statistics ACROSS mesh epochs.
+
+    Every refinement rebuilds the cell arrays from the new forest and
+    re-shards them evenly over the device mesh (driver.System via
+    parallel/sharding) — the Morton-ordered cell axis makes the
+    re-split trivial, which is the structured-mesh answer to the
+    reference's p4est repartition-on-refine
+    (cracks.cc:4147 execute_coarsening_and_refinement).  miehe_shear_1
+    crosses two refinements (891 -> 918 -> 984 DoFs) inside the run, so
+    agreement here proves solution transfer + re-setup + re-sharding
+    compose across epochs, mirroring the reference's np1/np2 golden
+    discipline on an adaptive trajectory."""
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+
+    def run(n_dev):
+        sim, _ = run_prm(f"{PRM_DIR}/miehe_shear_1.prm",
+                         output_dir=str(tmp_path / f"amr{n_dev}"),
+                         max_no_timesteps=7, n_devices=n_dev,
+                         linear_solver="cg", preconditioner="gmg")
+        assert sim.mesh.n_dofs == 984  # two refinements happened
+        return parse_statistics(sim.statistics.write_text())
+
+    names1, rows1 = run(1)
+    names8, rows8 = run(8)
+    assert names1 == names8
+    diff = np.abs(rows1 - rows8)
+    rel = diff / np.maximum(np.abs(rows1), 1e-300)
+    assert ((diff <= 1e-6) | (rel <= 1e-8)).all(), (rows1, rows8)
+
+    g_names, g_rows = load_golden("miehe_shear_1.statistics")
+    g = g_rows[: rows8.shape[0]]
+    diff = np.abs(rows8[:, : g.shape[1]] - g)
+    rel = diff / np.maximum(np.abs(g), 1e-300)
+    assert ((diff <= 1e-6) | (rel <= 1e-8)).all(), (rows8, g)
