@@ -178,6 +178,12 @@ class Parameters:
     assembled_matvec: bool = True
     # number of devices to shard element arrays over (1 = single chip)
     n_devices: int = 1
+    # DCN (inter-host) axis extent of the device mesh: 1 = flat
+    # single-host ("cells",) mesh; >1 = host-major ("dcn", "cells")
+    # product mesh for multi-host slices (n_devices/mesh_dcn chips per
+    # host) — the cell partition is identical, but XLA lowers
+    # collectives hierarchically (parallel/sharding.make_device_mesh)
+    mesh_dcn: int = 1
     # DoF vector distribution across the device mesh:
     #  "replicated" — element arrays sharded, DoF vectors whole on every
     #     chip (combine = full-size psum; exact, memory-bound at scale);
@@ -209,6 +215,10 @@ class Parameters:
             raise ValueError("Dimension must be 2 or 3")
         if self.dof_sharding not in ("replicated", "lattice"):
             raise ValueError(f"unknown DoF sharding {self.dof_sharding!r}")
+        if self.mesh_dcn < 1 or self.n_devices % self.mesh_dcn:
+            raise ValueError("Mesh DCN axis must divide Number of "
+                             f"devices ({self.mesh_dcn} vs "
+                             f"{self.n_devices})")
 
     # Derived material constants (reference cracks.cc:1500-1525).
     @property
@@ -290,6 +300,7 @@ _PRM_MAP = {
     ("TPU parameters", "CG chunk"): ("cg_chunk", int),
     ("TPU parameters", "Mixed precision CG"): ("mixed_precision_cg", _to_bool),
     ("TPU parameters", "Number of devices"): ("n_devices", int),
+    ("TPU parameters", "Mesh DCN axis"): ("mesh_dcn", int),
     ("TPU parameters", "DoF sharding"): ("dof_sharding", str),
     ("TPU parameters", "Write VTU"): ("write_vtu", _to_bool),
 }

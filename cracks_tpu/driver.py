@@ -77,7 +77,8 @@ class System:
         if params.n_devices > 1:
             from .parallel import sharding as _sh0
             self._core = _sh0.shard_cell_core(
-                self._core, _sh0.make_device_mesh(params.n_devices))
+                self._core, _sh0.make_device_mesh(params.n_devices,
+                                                  dcn=params.mesh_dcn))
         self.ca = physics.cell_arrays_from_core(self._core, dtype=dtype,
                                                 chunk=one_chip)
         # mixed-precision flag; the f32 cell arrays themselves are built
@@ -93,7 +94,8 @@ class System:
             # kernels and inserts the ICI collectives (the explicit
             # shard_map formulation lives in parallel/sharding.py).
             from .parallel import sharding as _sh
-            self._device_mesh = _sh.make_device_mesh(params.n_devices)
+            self._device_mesh = _sh.make_device_mesh(
+                params.n_devices, dcn=params.mesh_dcn)
             self.ca = _sh.shard_cell_arrays(self.ca, self._device_mesh)
         else:
             self._device_mesh = None
@@ -164,8 +166,11 @@ class System:
         if self._device_mesh is None:
             return None
         from jax.sharding import NamedSharding, PartitionSpec as P
+        from .parallel.sharding import cell_axis
         return NamedSharding(
-            self._device_mesh, P(None, "cells", *([None] * (self.dim - 1))))
+            self._device_mesh,
+            P(None, cell_axis(self._device_mesh),
+              *([None] * (self.dim - 1))))
 
     def lat_ns_jac(self):
         """NamedSharding of an (ndl, ndl, *cellgrid) element-matrix
@@ -173,9 +178,11 @@ class System:
         if self._device_mesh is None:
             return None
         from jax.sharding import NamedSharding, PartitionSpec as P
+        from .parallel.sharding import cell_axis
         return NamedSharding(
             self._device_mesh,
-            P(None, None, "cells", *([None] * (self.dim - 1))))
+            P(None, None, cell_axis(self._device_mesh),
+              *([None] * (self.dim - 1))))
 
     def constraints(self, time: float) -> Constraints:
         # masks are time-independent; Newton-update constraints are

@@ -48,11 +48,55 @@ _CA_SPEC = physics.CellArrays(
 )
 
 
-def make_device_mesh(n_devices: int | None = None) -> Mesh:
+def make_device_mesh(n_devices: int | None = None,
+                     dcn: int = 1) -> Mesh:
+    """Device mesh for the cell-axis domain decomposition.
+
+    dcn=1 (default): a flat ("cells",) mesh — every collective rides
+    the ICI.  dcn>1: a host-major ("dcn", "cells") PRODUCT mesh for
+    multi-host topologies (e.g. 4x v5e-8 slices = dcn=4): the cell
+    axis is sharded over BOTH axes jointly (cell_axis()), so the
+    partition is identical to the flat mesh — `jax.devices()` orders
+    devices process-major, so contiguous Morton slabs land on chips
+    within one host first — but XLA now knows which collective hops
+    cross DCN and lowers reductions hierarchically (intra-slice
+    reduce over ICI, one inter-host exchange over DCN).  The traffic
+    pattern this buys: the slab-boundary halo rows exchanged by the
+    lattice solve's shifted-window slices are intra-host everywhere
+    except at the dcn-1 host boundaries — surface-of-surface over DCN,
+    exactly the multi-host layout rule of the scaling playbook (keep
+    the fast-changing axis on ICI).  This is the same program
+    multi-host JAX runs after jax.distributed.initialize(); the dcn
+    axis is how the bench and the dryrun validate that layout without
+    multi-host hardware."""
     devs = jax.devices()
     if n_devices is not None:
         devs = devs[:n_devices]
+    if dcn > 1:
+        if len(devs) % dcn:
+            raise ValueError(
+                f"dcn={dcn} does not divide n_devices={len(devs)}")
+        return Mesh(np.array(devs).reshape(dcn, -1), ("dcn", "cells"))
     return Mesh(np.array(devs), ("cells",))
+
+
+def cell_axis(mesh: Mesh):
+    """Mesh axis name(s) spanning the cell dimension: "cells" on a
+    flat mesh, ("dcn", "cells") jointly on a product mesh."""
+    return (tuple(mesh.axis_names) if len(mesh.axis_names) > 1
+            else "cells")
+
+
+def ca_spec(mesh: Mesh) -> physics.CellArrays:
+    """CellArrays PartitionSpecs with the cell axis mapped onto
+    cell_axis(mesh)."""
+    ax = cell_axis(mesh)
+    if ax == "cells":
+        return _CA_SPEC
+    sub = lambda spec: P(*(ax if s == "cells" else s for s in spec))
+    d = {k: (sub(v) if isinstance(v, P) else v)
+         for k, v in _CA_SPEC._asdict().items()}
+    return physics.CellArrays(**d)
 
 
 def pad_cell_arrays(ca: physics.CellArrays, n_devices: int) -> physics.CellArrays:
@@ -90,7 +134,7 @@ def shard_cell_core(core: physics.CellCore, mesh: Mesh) -> physics.CellCore:
     n_c = int(core.JxW.shape[0])
     if n_c % mesh.devices.size:
         return core
-    ns = NamedSharding(mesh, P("cells"))
+    ns = NamedSharding(mesh, P(cell_axis(mesh)))
     put = lambda a: jax.device_put(a, ns)
     return physics.CellCore(
         gather_u=put(core.gather_u), gather_p=put(core.gather_p),
@@ -106,7 +150,7 @@ def shard_cell_arrays_nopad(ca: physics.CellArrays,
     lattice fast path, whose (ndl, ndl, *cellgrid) reshape requires the
     exact raster cell count."""
     out = {}
-    for name, spec in _CA_SPEC._asdict().items():
+    for name, spec in ca_spec(mesh)._asdict().items():
         arr = getattr(ca, name)
         if name == "chunked" or arr is None:
             out[name] = None if name == "chunked" else arr
@@ -122,11 +166,11 @@ def shard_cell_arrays(ca: physics.CellArrays, mesh: Mesh) -> physics.CellArrays:
     path splits the cell axis across devices itself, so each shard is
     already bounded-size."""
     n_dev = mesh.devices.size
+    spec = ca_spec(mesh)
     ca = pad_cell_arrays(ca._replace(chunked=None), n_dev)
     return physics.CellArrays(*(
-        jax.device_put(arr, NamedSharding(mesh, spec))
-        for arr, spec in zip(
-            ca[:len(_CA_SPEC) - 1], _CA_SPEC[:len(_CA_SPEC) - 1])))
+        jax.device_put(arr, NamedSharding(mesh, s))
+        for arr, s in zip(ca[:len(spec) - 1], spec[:len(spec) - 1])))
 
 
 def sharded_residual_fn(mesh: Mesh, *, dim: int, with_split: bool,
@@ -134,14 +178,16 @@ def sharded_residual_fn(mesh: Mesh, *, dim: int, with_split: bool,
     """Build the SPMD residual: each shard assembles its cells' raw
     residual into a full-size vector; psum over ICI combines them."""
 
+    ax = cell_axis(mesh)
+
     @partial(jax.shard_map, mesh=mesh,
-             in_specs=(P(), P(), P(), P(), _CA_SPEC, P()),
+             in_specs=(P(), P(), P(), P(), ca_spec(mesh), P()),
              out_specs=(P(), P()))
     def fn(u, phi, phi_old, phi_oold, ca, sc):
         ru, rp = physics.assemble_residual(
             u, phi, phi_old, phi_oold, ca, sc,
             dim=dim, with_split=with_split, monolithic=monolithic)
-        return (jax.lax.psum(ru, "cells"), jax.lax.psum(rp, "cells"))
+        return (jax.lax.psum(ru, ax), jax.lax.psum(rp, ax))
 
     return fn
 

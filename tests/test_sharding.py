@@ -91,3 +91,30 @@ def test_driver_multidevice_matches_single(tmp_path):
     b2 = s2.statistics.data["Bulk Energy"]
     # reduction order differs across partitionings; values agree to ~1e-9
     assert b1 == pytest.approx(b2, rel=1e-6)
+
+
+def test_driver_dcn_product_mesh_matches_flat(tmp_path):
+    """Multi-host layout: the same run on a host-major ("dcn","cells")
+    product mesh (mesh_dcn=2 x 4 chips — the 2-host slice layout,
+    parallel/sharding.make_device_mesh) must match the flat 8-device
+    mesh.  The cell partition is identical (jax.devices() is
+    process-major), only the collective lowering changes."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    from cracks_tpu.config import load_parameters
+    from cracks_tpu.driver import Simulation
+
+    p = load_parameters(os.path.join(regression.PRM_DIR, "sneddon_2d_1.prm"),
+                        output_dir="", max_no_timesteps=0,
+                        n_local_pre_refine=0, n_refinement_cycles=0,
+                        linear_solver="cg", preconditioner="gmg",
+                        n_devices=8)
+    s_flat = Simulation(p, verbose=False); s_flat.run()
+    s_dcn = Simulation(p.replace(mesh_dcn=2), verbose=False); s_dcn.run()
+    assert tuple(s_dcn.sys._device_mesh.axis_names) == ("dcn", "cells")
+    assert s_dcn.sys._device_mesh.devices.shape == (2, 4)
+    b1 = s_flat.statistics.data["Bulk Energy"]
+    b2 = s_dcn.statistics.data["Bulk Energy"]
+    assert b1 == pytest.approx(b2, rel=1e-8)
