@@ -26,10 +26,15 @@ def save_checkpoint(path: str, sim, state) -> None:
         old_old_timestep=sim.old_old_timestep,
         min_cell_diameter=sim.min_cell_diameter,
         constant_k=sim.constant_k, alpha_eps=sim.alpha_eps,
+        output_counter=sim.output_counter,
     )
+    st = sim.statistics
+    stats = dict(columns=st.columns, data=st.data, formats=st.formats,
+                 n_rows=st.n_rows)
     np.savez_compressed(
         path,
         meta=json.dumps(meta),
+        statistics=json.dumps(stats),
         forest_root=sim.forest.root,
         forest_level=sim.forest.level,
         forest_anchor=sim.forest.anchor,
@@ -69,6 +74,16 @@ def load_checkpoint(path: str, params):
     sim.timestep_number = meta["timestep_number"]
     sim.old_timestep = meta["old_timestep"]
     sim.old_old_timestep = meta["old_old_timestep"]
+    sim.output_counter = meta.get("output_counter", -1)
+    if "statistics" in data:
+        # restore the statistics table so the per-step rewrite
+        # (cracks.cc:4469-4475 semantics) keeps the pre-checkpoint rows
+        st = json.loads(str(data["statistics"]))
+        sim.statistics.columns = list(st["columns"])
+        sim.statistics.data = {k: list(v) for k, v in st["data"].items()}
+        sim.statistics.formats = {k: tuple(v)
+                                  for k, v in st["formats"].items()}
+        sim.statistics.n_rows = st["n_rows"]
 
     state = SolutionState(
         u=jnp.asarray(data["u"]), phi=jnp.asarray(data["phi"]),

@@ -197,6 +197,11 @@ class Parameters:
     dof_sharding: str = "replicated"
     # write VTU visualization output every step
     write_vtu: bool = False
+    # write <output_dir>/checkpoint.npz every N completed load steps
+    # (0 = off; a new capability over the reference, SURVEY section 5)
+    checkpoint_every: int = 0
+    # resume a run from a checkpoint file instead of initial values
+    resume_from: str = ""
 
     # ------------------------------------------------------------------
     def __post_init__(self):
@@ -301,6 +306,8 @@ _PRM_MAP = {
     ("TPU parameters", "Mixed precision CG"): ("mixed_precision_cg", _to_bool),
     ("TPU parameters", "Number of devices"): ("n_devices", int),
     ("TPU parameters", "Mesh DCN axis"): ("mesh_dcn", int),
+    ("TPU parameters", "Checkpoint every"): ("checkpoint_every", int),
+    ("TPU parameters", "Resume from"): ("resume_from", str),
     ("TPU parameters", "DoF sharding"): ("dof_sharding", str),
     ("TPU parameters", "Write VTU"): ("write_vtu", _to_bool),
 }

@@ -507,32 +507,45 @@ class Simulation:
         self.pvd.add(self.time, name)
 
     # ------------------------------------------------------------------
-    def run(self):
-        """The timestep loop (cracks.cc:4166-4581)."""
+    def run(self, resume_state: SolutionState | None = None):
+        """The timestep loop (cracks.cc:4166-4581).
+
+        With resume_state given (a SolutionState from
+        checkpoint.load_checkpoint, whose loader already restored the
+        forest, System and time-stepping fields), initialization —
+        pre-refinement, initial values, old-solution seeding — is
+        skipped and the loop continues from the checkpointed step.
+        Sneddon refinement-cycle counters restart (the checkpoint
+        captures the mesh they produced, not the countdown)."""
         p = self.p
         t_start = walltime.time()
         self.log(f"Cells:\t{self.mesh.n_cells}")
 
-        with self.timer.section("Setup system"):
-            self.setup_system()
-        self.determine_mesh_dependent_parameters()
-
-        n_v = self.mesh.n_vertices
-        zero_u = jnp.zeros(n_v * self.mesh.dim)
-        state = SolutionState(u=zero_u, phi=jnp.zeros(n_v), u_old=zero_u,
-                              phi_old=jnp.zeros(n_v), phi_oold=jnp.zeros(n_v))
-
-        # local pre-refinement (cracks.cc:4177-4211)
-        for _ in range(p.n_local_pre_refine):
-            self.log(f"Prerefinement step with h= {self.min_cell_diameter}")
-            self.interpolate_initial_values(state)
-            state.u_old = state.u
-            state.phi_old = state.phi
-            state.phi_oold = state.phi
-            self.refine_mesh(state)
-
-        if p.n_local_pre_refine == 0:
+        if resume_state is None:
+            with self.timer.section("Setup system"):
+                self.setup_system()
             self.determine_mesh_dependent_parameters()
+
+            n_v = self.mesh.n_vertices
+            zero_u = jnp.zeros(n_v * self.mesh.dim)
+            state = SolutionState(u=zero_u, phi=jnp.zeros(n_v),
+                                  u_old=zero_u, phi_old=jnp.zeros(n_v),
+                                  phi_oold=jnp.zeros(n_v))
+
+            # local pre-refinement (cracks.cc:4177-4211)
+            for _ in range(p.n_local_pre_refine):
+                self.log(f"Prerefinement step with h= "
+                         f"{self.min_cell_diameter}")
+                self.interpolate_initial_values(state)
+                state.u_old = state.u
+                state.phi_old = state.phi
+                state.phi_oold = state.phi
+                self.refine_mesh(state)
+
+            if p.n_local_pre_refine == 0:
+                self.determine_mesh_dependent_parameters()
+        else:
+            state = resume_state
         if self.sys is None:
             with self.timer.section("Setup system"):
                 self.setup_system()
@@ -549,17 +562,18 @@ class Simulation:
                  f"eps:               {self.alpha_eps}\n"
                  f"G_c:               {p.G_c}\n")
 
-        with self.timer.section("Initial values + output"):
-            self.interpolate_initial_values(state)
-            self.output_results(state)
-            self.project_back_phase_field(state)
+        if resume_state is None:
+            with self.timer.section("Initial values + output"):
+                self.interpolate_initial_values(state)
+                self.output_results(state)
+                self.project_back_phase_field(state)
 
-        state.phi_old = state.phi
-        state.phi_oold = state.phi
-        state.u_old = state.u
+            state.phi_old = state.phi
+            state.phi_oold = state.phi
+            state.u_old = state.u
 
-        self.old_timestep = self.timestep
-        self.old_old_timestep = self.timestep
+            self.old_timestep = self.timestep
+            self.old_old_timestep = self.timestep
 
         refinement_cycle = 0
         n_refinement_cycles = p.n_refinement_cycles
@@ -584,6 +598,12 @@ class Simulation:
                                                  verbose=verbose)
             return newton.newton_active_set(sys_, state_, time_,
                                             verbose=verbose)
+
+        if (resume_state is not None
+                and self.timestep_number > p.max_no_timesteps):
+            self.log("Checkpoint is already past Max No of timesteps")
+            self._last_state = state
+            return state
 
         # ---- timestep loop ----
         while True:
@@ -736,6 +756,15 @@ class Simulation:
                                     walltime.time() - step_t0))
             self.timestep_number += 1
 
+            # periodic checkpoint (new capability over the reference,
+            # SURVEY section 5): one rolling restartable snapshot
+            if (p.checkpoint_every > 0 and p.output_dir
+                    and self.timestep_number % p.checkpoint_every == 0):
+                from .checkpoint import save_checkpoint
+                save_checkpoint(
+                    os.path.join(p.output_dir, "checkpoint.npz"),
+                    self, state)
+
             # ---- Sneddon stationarity (cracks.cc:4483-4560) ----
             if p.test_case == "sneddon" and finishing_timestep_loop < 1e-5:
                 tcv = float(tcv_d)
@@ -834,9 +863,17 @@ class Simulation:
 
 
 def run_prm(path_or_text: str, **overrides):
-    """CLI-style entry: run a .prm configuration end to end."""
+    """CLI-style entry: run a .prm configuration end to end.
+
+    With `Resume from` set (TPU parameters), the run continues from
+    the checkpoint instead of initial values."""
     from .config import load_parameters
     p = load_parameters(path_or_text, **overrides)
+    if p.resume_from:
+        from .checkpoint import load_checkpoint
+        sim, state = load_checkpoint(p.resume_from, p)
+        state = sim.run(state)
+        return sim, state
     sim = Simulation(p)
     state = sim.run()
     return sim, state

@@ -4,7 +4,12 @@
 plugin wins unless jax.config is set before backend init.)  Usage:
     python scripts/vdrive_cpu.py <file.prm> [key=value ...]
 """
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
 import jax
 jax.config.update("jax_platforms", "cpu")
 from cracks_tpu.__main__ import main

@@ -53,3 +53,42 @@ def test_checkpoint_roundtrip(tmp_path):
         sim2.constant_k, sim2.alpha_eps, p.G_c)
     bulk_full = sim_full.statistics.data["Bulk Energy"][-1]
     assert abs(bulk2 - bulk_full) < 1e-12 * max(1.0, abs(bulk_full)) + 1e-14
+
+
+def test_cli_checkpoint_and_resume_matches_uninterrupted(tmp_path):
+    """The driver-reachable path (Checkpoint every / Resume from TPU
+    parameters): run 4 steps with a rolling checkpoint every 2 steps,
+    resume the step-2 snapshot to step 4, and require the resumed
+    statistics table to match the uninterrupted run digit-for-digit
+    (same formatting; the checkpoint also carries the statistics rows
+    so the rewritten file keeps its history)."""
+    from cracks_tpu.driver import run_prm
+
+    out_a = tmp_path / "full"
+    sim_full, _ = run_prm(
+        os.path.join(regression.PRM_DIR, "sneddon_2d_1.prm"),
+        output_dir=str(out_a), max_no_timesteps=3)
+
+    out_b = tmp_path / "ckpt"
+    sim_b, _ = run_prm(
+        os.path.join(regression.PRM_DIR, "sneddon_2d_1.prm"),
+        output_dir=str(out_b), max_no_timesteps=1, checkpoint_every=2)
+    ckpt = out_b / "checkpoint.npz"
+    assert ckpt.exists()
+
+    out_c = tmp_path / "resumed"
+    sim_c, _ = run_prm(
+        os.path.join(regression.PRM_DIR, "sneddon_2d_1.prm"),
+        output_dir=str(out_c), max_no_timesteps=3,
+        resume_from=str(ckpt))
+    assert sim_c.timestep_number == sim_full.timestep_number
+
+    full_txt = sim_full.statistics.write_text()
+    resumed_txt = sim_c.statistics.write_text()
+    a = regression.parse_statistics(full_txt)[1]
+    b = regression.parse_statistics(resumed_txt)[1]
+    assert a.shape == b.shape
+    diff = np.abs(a - b)
+    rel = diff / np.maximum(np.abs(a), 1e-300)
+    both_empty = np.isnan(a) & np.isnan(b)   # '""' auto-fill cells
+    assert ((diff <= 1e-6) | (rel <= 1e-8) | both_empty).all(), (a, b)
