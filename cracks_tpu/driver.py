@@ -14,6 +14,7 @@ MPI/Trilinos compute kernels.
 from __future__ import annotations
 
 import os
+import sys
 import time as walltime
 from dataclasses import dataclass, field
 
@@ -289,6 +290,7 @@ class Simulation:
             print(*args)
 
     def setup_system(self):
+        _t0 = walltime.time()
         self.sys = System(self.p, self.mesh, self.bitmap)
         self.sys.constant_k = self.constant_k
         self.sys.alpha_eps = self.alpha_eps
@@ -355,6 +357,17 @@ class Simulation:
             self.log("DoF sharding = lattice requested but unavailable "
                      "(needs the tensor-grid lattice path + active-set "
                      "solver); falling back to replicated DoF vectors")
+        if os.environ.get("CRACKS_TPU_STEP_LOG") == "1":
+            kind = ("lattice" if getattr(self.sys, "lattice_hierarchy",
+                                         None) is not None
+                    else "galerkin" if getattr(self.sys,
+                                               "galerkin_hierarchy",
+                                               None) is not None
+                    else "generic")
+            print(f"# setup_system dofs={self.mesh.n_dofs} "
+                  f"cells={self.mesh.n_cells} path={kind} "
+                  f"wall={walltime.time() - _t0:.1f}s",
+                  file=sys.stderr, flush=True)
         self.log(f"\nDoFs: {self.mesh.n_vertices * self.mesh.dim} solid + "
                  f"{self.mesh.n_vertices} phase = {self.mesh.n_dofs}")
 
@@ -449,6 +462,14 @@ class Simulation:
             # (mesh.Forest balances before extraction), and a balanced
             # forest with zero new flags stays balanced — balance can
             # only induce work downstream of at least one genuine flag.
+            # The invariant is executable, not assumed: balance_flags on
+            # an all-False vector must be a fixed point.  Checked once
+            # per mesh epoch (the forest is unchanged between epochs, so
+            # re-checking every step would be pure overhead).
+            if not getattr(self, "_balance_checked", False):
+                assert not self.forest.balance_flags(flags).any(), \
+                    "forest not 2:1-balanced on entry to refine_mesh"
+                self._balance_checked = True
             return False
         dim = self.mesh.dim
         fields = [np.asarray(state.u).reshape(-1, dim), np.asarray(state.phi),
@@ -459,6 +480,7 @@ class Simulation:
         if nref == 0:
             return False
         self.mesh = new_mesh
+        self._balance_checked = False
         state.u = jnp.asarray(new_fields[0].reshape(-1))
         state.phi = jnp.asarray(new_fields[1])
         state.u_old = jnp.asarray(new_fields[2].reshape(-1))
@@ -754,6 +776,13 @@ class Simulation:
             self.step_times.append((self.timestep_number,
                                     self.mesh.n_dofs,
                                     walltime.time() - step_t0))
+            if os.environ.get("CRACKS_TPU_STEP_LOG") == "1":
+                # progress heartbeat for long benched trajectories: a
+                # killed run still leaves per-step timings in the log
+                print(f"# step {self.timestep_number} time={self.time:g} "
+                      f"dofs={self.mesh.n_dofs} "
+                      f"wall={self.step_times[-1][2]:.1f}s",
+                      file=sys.stderr, flush=True)
             self.timestep_number += 1
 
             # periodic checkpoint (new capability over the reference,
