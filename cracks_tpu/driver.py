@@ -351,12 +351,14 @@ class Simulation:
         self.sys.use_lattice_state = (
             self.p.dof_sharding == "lattice"
             and getattr(self.sys, "lattice_hierarchy", None) is not None
+            and getattr(self.sys.lattice_hierarchy, "seam", None) is None
             and self.p.outer_solver == "active set")
         if (self.p.dof_sharding == "lattice"
                 and not self.sys.use_lattice_state):
             self.log("DoF sharding = lattice requested but unavailable "
-                     "(needs the tensor-grid lattice path + active-set "
-                     "solver); falling back to replicated DoF vectors")
+                     "(needs the seam-free tensor-grid lattice path + "
+                     "active-set solver); falling back to replicated "
+                     "DoF vectors")
         if os.environ.get("CRACKS_TPU_STEP_LOG") == "1":
             kind = ("lattice" if getattr(self.sys, "lattice_hierarchy",
                                          None) is not None

@@ -314,9 +314,15 @@ def build_cell_core(mesh, lam, mu) -> CellCore:
 def _derive_cell_arrays(core: CellCore, perm, *, dtype, spec, permute):
     """One device dispatch: (permute) -> cast -> cell-last transpose
     (-> chunk-major pad/reshape).  Layouts identical to the host
-    pipeline (cell_arrays_from_host / make_chunked)."""
+    pipeline (cell_arrays_from_host / make_chunked).
+
+    perm entries < 0 mark DEAD cells (the seam-glued slit lattice pads
+    its cell raster with one phantom row, solvers/lattice.py): their
+    JxW is zeroed, which zeroes every quadrature contribution — element
+    matrices and residuals alike — while the clamped gather indices
+    scatter exact zeros."""
     def cf(a):
-        a = a[perm] if permute else a
+        a = a[jnp.maximum(perm, 0)] if permute else a
         return a.astype(dtype) if jnp.issubdtype(a.dtype,
                                                  jnp.floating) else a
 
@@ -324,6 +330,9 @@ def _derive_cell_arrays(core: CellCore, perm, *, dtype, spec, permute):
                   JxW=cf(core.JxW), grads=cf(core.grads),
                   lam=cf(core.lam), mu=cf(core.mu),
                   inv_diam2=cf(core.inv_diam2))
+    if permute:
+        dead = (perm < 0)[:, None]
+        firsts["JxW"] = jnp.where(dead, 0.0, firsts["JxW"])
     last = {k: jnp.moveaxis(a, 0, -1) for k, a in firsts.items()}
 
     chunked = None

@@ -67,20 +67,123 @@ def _win(o, G):
         slice(o[j], G[j] - 1 + o[j]) for j in range(len(G)))
 
 
+class Seam(NamedTuple):
+    """Static description of a horizontal slit cut into the vertex
+    lattice (the reference's `unit_slit.inp` family, cracks.cc:1202-1205:
+    a slit from the domain interior to the +x boundary whose lip
+    vertices are DUPLICATED — two DoFs per geometric point so the crack
+    faces displace independently).
+
+    The lattice embeds the cut domain by duplicating the entire slit
+    row: vertex row `s` carries the lower-lip copies, row `s+1` the
+    upper-lip copies, and at the GLUED columns [0, slit_lo) — where the
+    material is continuous — both rows represent the SAME DoF.  The
+    cell raster gains one dead row (index `s`, zero element matrices)
+    between the lips, which keeps the cell->vertex gather a pure
+    shifted-window slice on both sides of the cut.
+
+    DoF vectors are kept in CANONICAL form — the shared value lives in
+    row `s`, the mirror entries (row s+1, glued columns) are zero — so
+    lattice dot products count each DoF once.  Every stencil operator
+    application is conjugated as  collect . stencil . spread  (exactly
+    S^T A S for the duplication map S), which is the structured-grid
+    form of the reference's hanging-node-style constraint handling.
+
+    All fields are python ints, so a Seam is a hashable jit-static."""
+
+    s: int        # lower-lip vertex row (grid axis 0); mirror row = s+1
+    slit_lo: int  # first duplicated column; slit = [slit_lo, GX) to the
+    #               +x boundary, glued columns = [0, slit_lo)
+
+
+def seam_spread(X, seam: Seam | None):
+    """Canonical -> consistent: copy the shared values into the mirror
+    row so the stencil sees the function on both sides of the seam."""
+    if seam is None:
+        return X
+    s, lo = seam.s, seam.slit_lo
+    return X.at[:, s + 1, :lo].set(X[:, s, :lo])
+
+
+def seam_collect(Y, seam: Seam | None):
+    """Consistent -> canonical: sum the mirror-row contributions into
+    the shared row and zero the mirror (the S^T of seam_spread)."""
+    if seam is None:
+        return Y
+    s, lo = seam.s, seam.slit_lo
+    t = Y[:, s, :lo] + Y[:, s + 1, :lo]
+    return Y.at[:, s, :lo].set(t).at[:, s + 1, :lo].set(
+        jnp.zeros_like(t))
+
+
+def seam_coarse(seam: Seam | None) -> Seam | None:
+    """Seam of the 2:1-coarsened lattice.  Requires s even (the slit
+    line lies on the coarse grid) and slit_lo odd (the first duplicated
+    column coarsens cleanly: ceil keeps every glued fine midpoint
+    interpolated from two glued coarse nodes, which is what makes the
+    per-slab element-RAP EXACTLY the Galerkin coarse operator)."""
+    if seam is None:
+        return None
+    assert seam.s % 2 == 0 and seam.slit_lo % 2 == 1
+    return Seam(s=seam.s // 2, slit_lo=(seam.slit_lo + 1) // 2)
+
+
+def _seam_can_coarsen(grid, seam: Seam | None) -> bool:
+    if seam is None:
+        return all((g - 1) % 2 == 0 for g in grid)
+    gy, gx = grid
+    return ((gy - 2) % 2 == 0 and (gx - 1) % 2 == 0
+            and seam.s % 2 == 0 and seam.s >= 2
+            and seam.slit_lo % 2 == 1)
+
+
+def _seam_coarse_grid(grid, seam: Seam | None) -> tuple:
+    if seam is None:
+        return tuple((g - 1) // 2 + 1 for g in grid)
+    return ((grid[0] - 2) // 2 + 2, (grid[1] - 1) // 2 + 1)
+
+
+def _seam_inject_down(A, seam: Seam | None):
+    """One-level injection of a (k, *grid) lattice field to the coarse
+    lattice (the [::2] of the seam-free path, slab-aware: the mirror row
+    s+1 starts the upper slab so both lips inject to their coarse lips)."""
+    if seam is None:
+        return A[(slice(None),) + tuple(slice(None, None, 2)
+                                        for _ in A.shape[1:])]
+    s = seam.s
+    below = A[:, 0:s + 1:2]
+    above = A[:, s + 1::2]
+    cat = (np.concatenate if isinstance(A, np.ndarray)
+           else jnp.concatenate)
+    return cat([below, above], axis=1)[:, :, ::2]
+
+
+def seam_levels(seam: Seam | None, n_levels: int) -> tuple:
+    """Per-level seams, coarsest..finest (the seam_coarse chain)."""
+    out = [seam]
+    for _ in range(n_levels - 1):
+        out.insert(0, seam_coarse(out[0]))
+    return tuple(out)
+
+
 class LatticeLayout(NamedTuple):
     """Host-built tensor-grid identification of a MeshData."""
 
     grid: tuple             # vertex extents, slowest..fastest (y,x)/(z,y,x)
     vert_idx: np.ndarray    # (*grid) int32 global vertex id per node
     vert_pos: np.ndarray    # (n_v,) int32 flat lattice pos per vertex
-    cell_perm: np.ndarray   # (n_cells,) raster -> mesh cell id
+    cell_perm: np.ndarray   # (n_cells,) raster -> mesh cell id; -1 =
+    #                         dead (seam-padding) raster slots
+    seam: Seam | None = None
 
 
 def detect_tensor_grid(mesh) -> LatticeLayout | None:
     """Identify a mesh whose vertices form an exact tensor grid (2d or
-    3d).  Returns None for meshes with hanging nodes or any vertex set
-    that is not a full product grid (e.g. slit meshes with duplicated
-    vertices along the crack)."""
+    3d), or — in 2d — a tensor grid cut by one horizontal slit whose lip
+    vertices are duplicated (the reference's `unit_slit.inp` family,
+    cracks.cc:1202-1205).  Slit meshes come back with a `Seam` and a
+    cell raster padded by one dead row; anything else (hanging nodes,
+    unstructured meshes like threepoint.msh) returns None."""
     if mesh.dim not in (2, 3) or len(mesh.hang_child):
         return None
     dim = mesh.dim
@@ -108,15 +211,18 @@ def detect_tensor_grid(mesh) -> LatticeLayout | None:
         return None
     gidx = [r[0] for r in res][::-1]          # per grid axis
     grid = tuple(int(r[1]) for r in res)[::-1]
-    if int(np.prod(grid)) != mesh.n_vertices or min(grid) < 4:
+    if min(grid) < 4:
         return None
-    pos = np.zeros(mesh.n_vertices, np.int64)
+    nv = mesh.n_vertices
+    pos = np.zeros(nv, np.int64)
     for j in range(dim):
         pos = pos * grid[j] + gidx[j]
-    if len(np.unique(pos)) != mesh.n_vertices:
+    if int(np.prod(grid)) != nv or len(np.unique(pos)) != nv:
+        if dim == 2 and int(np.prod(grid)) < nv:
+            return _detect_slit_grid(mesh, grid, gidx, pos)
         return None
     vert_idx = np.full(int(np.prod(grid)), -1, np.int64)
-    vert_idx[pos] = np.arange(mesh.n_vertices)
+    vert_idx[pos] = np.arange(nv)
     if (vert_idx < 0).any():
         return None
     vert_idx = vert_idx.reshape(grid)
@@ -147,6 +253,100 @@ def detect_tensor_grid(mesh) -> LatticeLayout | None:
                          cell_perm=raster.astype(np.int32))
 
 
+def _detect_slit_grid(mesh, grid0, gidx, pos0) -> LatticeLayout | None:
+    """Seam branch of detect_tensor_grid: the vertex coordinates form a
+    (gy0, gx0) product grid but some positions carry TWO vertices — the
+    duplicated lips of a horizontal slit.  Accepts exactly the reference
+    slit-mesh pattern (one slit row, duplicated columns contiguous to
+    the +x boundary) and embeds it as a (gy0+1, gx0) lattice with a
+    `Seam` (see Seam).  Every structural assumption is verified; any
+    mismatch returns None and the caller falls back to the gather-based
+    Galerkin path."""
+    gy0, gx0 = grid0
+    nv = mesh.n_vertices
+    ri, ci = gidx                                      # row, col per vertex
+    uniq, counts = np.unique(pos0, return_counts=True)
+    if counts.max() != 2 or len(uniq) != gy0 * gx0:
+        return None
+    dup = uniq[counts == 2]
+    rows = dup // gx0
+    if len(np.unique(rows)) != 1:
+        return None
+    s0 = int(rows[0])
+    if not (1 <= s0 <= gy0 - 2):
+        return None
+    cols = np.sort(dup % gx0)
+    lo = int(cols[0])
+    # contiguous duplicated columns reaching the +x boundary
+    if lo < 1 or not (cols == np.arange(lo, gx0)).all():
+        return None
+
+    # classify each lip copy by its cell corner role: fem.py corner
+    # order has corners 0,1 at local y-offset 0 (cell bottoms) and 2,3
+    # at y-offset 1 (cell tops).  A lip vertex referenced only as a TOP
+    # corner belongs to cells below the slit = the LOWER lip.
+    c2v = mesh.cell2vert
+    top = np.zeros(nv, bool)
+    bot = np.zeros(nv, bool)
+    bot[c2v[:, 0]] = True
+    bot[c2v[:, 1]] = True
+    top[c2v[:, 2]] = True
+    top[c2v[:, 3]] = True
+    is_dup = np.isin(pos0, dup)
+    lower = is_dup & top & ~bot
+    upper = is_dup & bot & ~top
+    if not ((lower | upper) == is_dup).all():
+        return None
+    if not (np.sum(lower) == np.sum(upper) == gx0 - lo):
+        return None
+
+    # expanded lattice: +1 row; lower lip + glued stay on row s0,
+    # upper lip moves to the new row s0+1, rows beyond shift up
+    gy = gy0 + 1
+    grid = (gy, gx0)
+    row_new = ri.astype(np.int64)
+    row_new = np.where(ri > s0, row_new + 1, row_new)
+    row_new = np.where(upper, s0 + 1, row_new)
+    pos = row_new * gx0 + ci
+    if len(np.unique(pos)) != nv:
+        return None
+    vert_idx = np.full(gy * gx0, -1, np.int64)
+    vert_idx[pos] = np.arange(nv)
+    vert_idx = vert_idx.reshape(grid)
+    # consistent view: mirror slots (row s0+1, glued cols) alias the
+    # shared vertex — used to verify cell connectivity below
+    vic = vert_idx.copy()
+    vic[s0 + 1, :lo] = vic[s0, :lo]
+    if (vic < 0).any():
+        return None
+
+    # cells: row from the top-left corner (strictly above the slit for
+    # above-slit cells, so the dead raster row s0 stays empty), col from
+    # the bottom-left corner
+    r_c = row_new[c2v[:, 2]] - 1
+    c_c = ci[c2v[:, 0]].astype(np.int64)
+    cgrid = (gy - 1, gx0 - 1)
+    if (r_c < 0).any() or (r_c >= cgrid[0]).any() or \
+            (c_c < 0).any() or (c_c >= cgrid[1]).any():
+        return None
+    offs = _offsets(2)
+    expect = np.stack([vic[r_c + o[0], c_c + o[1]] for o in offs],
+                      axis=1)
+    if not (expect == c2v).all():
+        return None
+    craster = r_c * cgrid[1] + c_c
+    raster = np.full(int(np.prod(cgrid)), -1, np.int64)
+    raster[craster] = np.arange(mesh.n_cells)
+    dead = raster.reshape(cgrid) < 0
+    if not (dead == (np.arange(cgrid[0])[:, None] == s0)).all():
+        return None
+    return LatticeLayout(grid=grid,
+                         vert_idx=vert_idx.astype(np.int32),
+                         vert_pos=pos.astype(np.int32),
+                         cell_perm=raster.astype(np.int32),
+                         seam=Seam(s=s0, slit_lo=lo))
+
+
 def permuted_cell_arrays(mesh, lam, mu, lay: LatticeLayout,
                          dtype=jnp.float32,
                          chunk: bool = True,
@@ -171,12 +371,17 @@ def permuted_cell_arrays(mesh, lam, mu, lay: LatticeLayout,
         # permute in cell-FIRST layout (contiguous row gather — the
         # host arrays are transpose views of cell-first originals),
         # then one transposing copy back to cell-last; ~5x faster than
-        # a fancy gather on the last axis of the big strided views
-        af = np.moveaxis(a, -1, 0)[p]
+        # a fancy gather on the last axis of the big strided views.
+        # Negative perm entries (dead seam-padding slots) clamp to
+        # cell 0; their JxW is zeroed below, matching
+        # physics._derive_cell_arrays.
+        af = np.moveaxis(a, -1, 0)[np.maximum(p, 0)]
         return np.ascontiguousarray(np.moveaxis(af, 0, -1))
     g_u, g_p = take(g_u), take(g_p)
     JxW, grads = take(JxW), take(grads)
     lam_, mu_, invd2 = take(lam_), take(mu_), take(invd2)
+    if (p < 0).any():
+        JxW[..., p < 0] = 0.0
     chunked = None
     if chunk:
         chunked = physics.make_chunked(g_u, g_p, JxW, grads, lam_, mu_,
@@ -240,16 +445,20 @@ def block_diag(jacL, lo, hi, k, grid):
     return scatter_windows(d.reshape((nvc, k) + d.shape[1:]), grid)
 
 
-def gershgorin(jacL, free, Dinv, lo, hi, k, grid):
+def gershgorin(jacL, free, Dinv, lo, hi, k, grid, seam: Seam | None = None):
     """Upper bound on lambda_max(D^-1 A) via element-wise over-counted
-    Gershgorin row sums (same bound as galerkin._gershgorin_lambda_max)."""
+    Gershgorin row sums (same bound as galerkin._gershgorin_lambda_max).
+    With a seam the glued rows' sums add — the row sum of S^T|A|S, still
+    an upper bound on the conjugated operator's row sums."""
     rs = jnp.sum(jnp.abs(jacL[lo:hi, lo:hi]), axis=1)  # (b, *cg)
     nvc = (hi - lo) // k
     s = scatter_windows(rs.reshape((nvc, k) + rs.shape[1:]), grid)
+    s = seam_collect(s, seam)
     return jnp.max(jnp.where(free, s * jnp.abs(Dinv), 0.0))
 
 
-def lanczos_lambda(jacL, free, Dinv, lo, hi, k, grid, m: int = 10):
+def lanczos_lambda(jacL, free, Dinv, lo, hi, k, grid, m: int = 10,
+                   seam: Seam | None = None):
     """Sharp lambda_max(D^-1 A) estimate on the free subspace: m-step
     Lanczos on the symmetrized operator S = D^(-1/2) A D^(-1/2), top
     Ritz value readout.
@@ -284,9 +493,10 @@ def lanczos_lambda(jacL, free, Dinv, lo, hi, k, grid, m: int = 10):
     jacT = jnp.swapaxes(jacL, 0, 1)
 
     def S(x):
-        xs = jnp.where(free, sq * x, 0.0)
+        xs = seam_spread(jnp.where(free, sq * x, 0.0), seam)
         y = 0.5 * (matvec(jacL, xs, lo, hi, k)
                    + matvec(jacT, xs, lo, hi, k))
+        y = seam_collect(y, seam)
         return jnp.where(free, sq * y, 0.0)
 
     idx = sum(jnp.indices(tuple(grid), dtype=jnp.int32))
@@ -316,7 +526,7 @@ def lanczos_lambda(jacL, free, Dinv, lo, hi, k, grid, m: int = 10):
         dtype)
     ok = jnp.isfinite(lam) & (lam > 0)
     return jnp.where(ok, lam,
-                     gershgorin(jacL, free, Dinv, lo, hi, k, grid))
+                     gershgorin(jacL, free, Dinv, lo, hi, k, grid, seam))
 
 
 def coarsen(jacL, P_embed):
@@ -342,6 +552,32 @@ def coarsen(jacL, P_embed):
         out = out + jnp.einsum("ai,ab...,bj->ij...", P, A, P,
                                precision=jax.lax.Precision.HIGHEST)
     return out
+
+
+def coarsen_seam(jacL, P_embed, seam: Seam | None):
+    """Galerkin element-RAP one level down on a seam-glued lattice.
+    The dead cell row decouples the slabs, so the per-slab RAP of the
+    consistent-space element matrices IS the Galerkin coarse operator
+    (the duplication-map conjugation S^T . S happens at matvec time;
+    see Seam).  The coarse raster keeps its own dead row at s//2."""
+    if seam is None:
+        return coarsen(jacL, P_embed)
+    s = seam.s
+    below = coarsen(jacL[:, :, :s], P_embed)
+    above = coarsen(jacL[:, :, s + 1:], P_embed)
+    dead = jnp.zeros(below.shape[:2] + (1,) + below.shape[3:],
+                     below.dtype)
+    return jnp.concatenate([below, dead, above], axis=2)
+
+
+def coarsen_chain(jacL, P_embed, n_levels: int, seam: Seam | None):
+    """[coarsest..finest] Galerkin element-matrix levels."""
+    jacs = [jacL]
+    s = seam
+    for _ in range(n_levels - 1):
+        jacs.insert(0, coarsen_seam(jacs[0], P_embed, s))
+        s = seam_coarse(s)
+    return jacs
 
 
 def _prolong_axis(X, axis):
@@ -390,6 +626,35 @@ def restrict(Xf, k):
     return X
 
 
+def prolong_seam(Xc, grid, k, seam: Seam | None):
+    """prolong() on a seam-glued lattice: spread the canonical coarse
+    field across its seam, Q1-prolong each slab separately along the
+    slit axis (the dead row decouples them), then re-canonicalize.
+    On canonical vectors this is exactly the adjoint of restrict_seam
+    (tested in tests/test_seam.py)."""
+    if seam is None:
+        return prolong(Xc, grid, k)
+    sc = seam_coarse(seam)
+    Xc = seam_spread(Xc, sc)
+    below = _prolong_axis(Xc[:, :sc.s + 1], 1)
+    above = _prolong_axis(Xc[:, sc.s + 1:], 1)
+    X = jnp.concatenate([below, above], axis=1)
+    X = _prolong_axis(X, 2)
+    return X.at[:, seam.s + 1, :seam.slit_lo].set(0.0)
+
+
+def restrict_seam(Xf, k, seam: Seam | None):
+    """Transpose of prolong_seam: per-slab Q1 restriction followed by
+    the coarse-seam collect (S_c^T P^T on canonical vectors)."""
+    if seam is None:
+        return restrict(Xf, k)
+    X = _restrict_axis(Xf, 2)
+    below = _restrict_axis(X[:, :seam.s + 1], 1)
+    above = _restrict_axis(X[:, seam.s + 1:], 1)
+    return seam_collect(jnp.concatenate([below, above], axis=1),
+                        seam_coarse(seam))
+
+
 # ---------------------------------------------------------------------------
 # hierarchy
 # ---------------------------------------------------------------------------
@@ -405,46 +670,61 @@ class LatticeHierarchy(NamedTuple):
     dir_u: tuple
     dir_p: tuple
     P_embed: jax.Array      # (nvc+1, ndl, ndl)
+    seam: Seam | None = None   # finest-level seam (slit lattices)
 
 
 def build_lattice_hierarchy(mesh, lay: LatticeLayout, dirichlet_fn,
-                            min_coarse: int = 100):
-    """Host construction.  Levels halve the cell extents while they all
-    stay even and the coarse vertex count stays above `min_coarse`."""
+                            min_coarse: int = 50):
+    """Host construction.  Levels halve the cell extents while the
+    grid (and, for slit lattices, the seam position) stays 2:1
+    coarsenable and the coarse vertex count stays above `min_coarse`."""
     dim = mesh.dim
     grid = lay.grid
-    dims = [grid]
-    while all((g - 1) % 2 == 0 for g in dims[-1]) and \
-            int(np.prod([(g - 1) // 2 + 1 for g in dims[-1]])) >= min_coarse:
-        dims.append(tuple((g - 1) // 2 + 1 for g in dims[-1]))
-    if len(dims) < 2:
+    seam = lay.seam
+    grids = [grid]
+    seams = [seam]
+    while _seam_can_coarsen(grids[-1], seams[-1]):
+        g_c = _seam_coarse_grid(grids[-1], seams[-1])
+        if int(np.prod(g_c)) < min_coarse:
+            break
+        grids.append(g_c)
+        seams.append(seam_coarse(seams[-1]))
+    if len(grids) < 2:
         return None
-    dims = dims[::-1]       # coarsest..finest
+    grids = grids[::-1]     # coarsest..finest
+    seams = seams[::-1]
 
     mask_u, mask_p = dirichlet_fn(mesh)
     mask_u = np.asarray(mask_u).reshape(mesh.n_vertices, dim)
     mask_p = np.asarray(mask_p)
-    # geometric Dirichlet masks per level: a coarse-lattice node is the
-    # fine node at stride 2^l, so masks inject exactly
+    # geometric Dirichlet masks per level: a coarse-lattice node IS a
+    # fine node, so masks inject exactly (slab-aware across the seam).
+    # Mirror glued slots carry no DoF: pinned at every level so the
+    # free masks keep canonical vectors zero there.
     MU = np.zeros(grid + (dim,), bool)
     MP = np.zeros(grid, bool)
     pos_nd = np.unravel_index(lay.vert_pos, grid)
     MU[pos_nd] = mask_u
     MP[pos_nd] = mask_p
-    dir_u, dir_p = [], []
-    for g in dims:
-        stride = tuple((grid[j] - 1) // (g[j] - 1) for j in range(dim))
-        sl = tuple(slice(None, None, s) for s in stride)
-        du = np.moveaxis(MU[sl], -1, 0)            # (dim, *g)
-        dp = MP[sl][None]                          # (1, *g)
-        dir_u.append(jnp.asarray(du))
-        dir_p.append(jnp.asarray(dp))
+    du = np.moveaxis(MU, -1, 0)                    # (dim, *grid)
+    dp = MP[None]                                  # (1, *grid)
+    if seam is not None:
+        du[:, seam.s + 1, :seam.slit_lo] = True
+        dp[:, seam.s + 1, :seam.slit_lo] = True
+    dir_u = [jnp.asarray(du)]
+    dir_p = [jnp.asarray(dp)]
+    for l in range(len(grids) - 1, 0, -1):
+        du = _seam_inject_down(du, seams[l])
+        dp = _seam_inject_down(dp, seams[l])
+        dir_u.insert(0, jnp.asarray(du))
+        dir_p.insert(0, jnp.asarray(dp))
     return LatticeHierarchy(
-        grid=grid, n_levels=len(dims),
+        grid=grid, n_levels=len(grids),
         vert_idx=jnp.asarray(lay.vert_idx),
         vert_pos=jnp.asarray(lay.vert_pos),
         dir_u=tuple(dir_u), dir_p=tuple(dir_p),
-        P_embed=jnp.asarray(embedding_matrices(dim), jnp.float32))
+        P_embed=jnp.asarray(embedding_matrices(dim), jnp.float32),
+        seam=seam)
 
 
 # ---------------------------------------------------------------------------
@@ -479,7 +759,8 @@ class _LOps(NamedTuple):
 
 
 def _build_block_levels(jacs, dir_u, dir_p, grid, active_L, lo, hi,
-                        k, which, sharp: bool = False):
+                        k, which, sharp: bool = False,
+                        seam: Seam | None = None):
     """Per-level (_LOps coarsest..finest) for one block.
 
     sharp selects the spectral-window regime (multigrid.sharp_spectrum
@@ -487,47 +768,61 @@ def _build_block_levels(jacs, dir_u, dir_p, grid, active_L, lo, hi,
     sizes, the Gershgorin bound + range 20 at golden sizes."""
     from .multigrid import smoothing_range
     rng = jnp.asarray(smoothing_range(sharp), jacs[0].dtype)
+    L = len(jacs)
+    seams = seam_levels(seam, L)
+    acts = [None] * L
+    if which == "p":
+        a = active_L
+        for l in range(L - 1, -1, -1):
+            acts[l] = a
+            if l:
+                a = _seam_inject_down(a, seams[l])
     out = []
-    for l in range(len(jacs)):
+    for l in range(L):
         jac = jacs[l]
         g = tuple(c + 1 for c in jac.shape[2:])
         dmask = dir_u[l] if which == "u" else dir_p[l]
         if which == "p":
-            stride = tuple((grid[j] - 1) // (g[j] - 1)
-                           for j in range(len(g)))
-            sl = (slice(None),) + tuple(slice(None, None, s)
-                                        for s in stride)
-            act = active_L[sl]
-            free = ~(dmask | act)
+            free = ~(dmask | acts[l])
         else:
             free = ~dmask & jnp.ones((k,) + g, bool)
-        d = block_diag(jac, lo, hi, k, g)
+        d = seam_collect(block_diag(jac, lo, hi, k, g), seams[l])
         Dinv = jnp.where(free & (jnp.abs(d) > 0), 1.0 / d, 1.0)
         if sharp:
-            lam = lanczos_lambda(jac, free, Dinv, lo, hi, k, g)
+            lam = lanczos_lambda(jac, free, Dinv, lo, hi, k, g,
+                                 seam=seams[l])
         else:
-            lam = gershgorin(jac, free, Dinv, lo, hi, k, g)
+            lam = gershgorin(jac, free, Dinv, lo, hi, k, g, seams[l])
         out.append(_LOps(jac=jac, free=free, Dinv=Dinv, lam=lam,
                          rng=rng))
     return out
 
 
-def _masked_mv(lv: _LOps, lo, hi, k):
+def _masked_mv(lv: _LOps, lo, hi, k, seam: Seam | None = None):
     def op(X):
-        X = jnp.where(lv.free, X, 0.0)
-        Y = matvec(lv.jac, X, lo, hi, k)
+        X = seam_spread(jnp.where(lv.free, X, 0.0), seam)
+        Y = seam_collect(matvec(lv.jac, X, lo, hi, k), seam)
         return jnp.where(lv.free, Y, 0.0)
     return op
 
 
-def _coarse_dense_factor(lv0: _LOps, lo, hi, k):
-    """Dense Cholesky of the coarsest-level block (Jacobi-scaled, f64)."""
+def _coarse_dense_factor(lv0: _LOps, lo, hi, k,
+                         seam0: Seam | None = None):
+    """Dense Cholesky of the coarsest-level block (Jacobi-scaled, f64).
+
+    With a seam, mirror glued slots alias their canonical slot in the
+    scatter index map, so the dense assembly produces S^T A S directly;
+    the (contribution-free) mirror slots are pinned to identity by the
+    free-mask treatment below."""
     g0 = lv0.free.shape[1:]
     nvert0 = int(np.prod(g0))
     n0 = k * nvert0
     # assemble dense from lattice element matrices via the (tiny)
     # coarsest grid: vertex flat index = comp-major (k, *g0)
     pos = jnp.arange(nvert0).reshape(g0)
+    if seam0 is not None:
+        pos = pos.at[seam0.s + 1, :seam0.slit_lo].set(
+            pos[seam0.s, :seam0.slit_lo])
     offs = _offsets(len(g0))
     wins = jnp.stack([pos[tuple(slice(o[j], g0[j] - 1 + o[j])
                                 for j in range(len(g0)))]
@@ -560,10 +855,12 @@ def _coarse_dense_factor(lv0: _LOps, lo, hi, k):
 
 
 def make_vcycle(levels, lo, hi, k, degree=2, coarse_factor=None,
-                fine_op=None):
+                fine_op=None, seam: Seam | None = None):
     L = len(levels)
+    seams = seam_levels(seam, L)
     if coarse_factor is None:
-        cho, cho_scale = _coarse_dense_factor(levels[0], lo, hi, k)
+        cho, cho_scale = _coarse_dense_factor(levels[0], lo, hi, k,
+                                              seams[0])
     else:
         cho_c, cho_scale = coarse_factor
         cho = (cho_c, False)
@@ -585,13 +882,14 @@ def make_vcycle(levels, lo, hi, k, degree=2, coarse_factor=None,
                  ).astype(b.dtype).reshape(shape0)
             return jnp.where(lv.free, x, 0.0)
         op = (fine_op if (fine_op is not None and l == L - 1)
-              else _masked_mv(lv, lo, hi, k))
+              else _masked_mv(lv, lo, hi, k, seams[l]))
         x = _chebyshev(op, lv.Dinv, b, lv.lam, degree, lv.rng)
         r = b - op(x)
-        r_c = restrict(r, k)
+        r_c = restrict_seam(r, k, seams[l])
         e_c = cycle(l - 1, r_c)
         g = lv.free.shape[1:]
-        x = x + jnp.where(lv.free, prolong(e_c, g, k), 0.0)
+        x = x + jnp.where(lv.free, prolong_seam(e_c, g, k, seams[l]),
+                          0.0)
         r = b - op(x)
         x = x + _chebyshev(op, lv.Dinv, r, lv.lam, degree, lv.rng)
         return x
@@ -639,7 +937,8 @@ def solve_lattice(sys, u, phi, phi_old, phi_oold, con, active, rhs_u,
         sys.scalars, hier.vert_pos, hier.dir_u, hier.dir_p,
         hier.P_embed, con, active, rhs_u, rhs_p, p.cg_rtol,
         grid=hier.grid, n_levels=hier.n_levels, dim=sys.dim,
-        with_split=with_split, monolithic=sys.monolithic)
+        with_split=with_split, monolithic=sys.monolithic,
+        seam=hier.seam)
     return du, dp, int(its)
 
 
@@ -648,9 +947,9 @@ def solve_lattice(sys, u, phi, phi_old, phi_oold, con, active, rhs_u,
 # ---------------------------------------------------------------------------
 
 @partial(jax.jit, static_argnames=("grid", "n_levels", "dim",
-                                   "with_split", "monolithic"))
+                                   "with_split", "monolithic", "seam"))
 def _prepare(u, phi, phi_old, phi_oold, caL32, sc, P_embed, *, grid,
-             n_levels, dim, with_split, monolithic):
+             n_levels, dim, with_split, monolithic, seam=None):
     """jac32 on the lattice + the Galerkin coarse chain."""
     f32 = lambda x: x.astype(jnp.float32)
     sc32 = physics.Scalars(*(f32(v) for v in sc))
@@ -661,17 +960,14 @@ def _prepare(u, phi, phi_old, phi_oold, caL32, sc, P_embed, *, grid,
         f32(u), f32(phi), f32(phi_old), f32(phi_oold), caL32, sc32,
         dim=dim, with_split=with_split, monolithic=monolithic,
         cell_last=True).reshape((ndl, ndl) + cgrid)
-    jacs = [jacL]
-    for _ in range(n_levels - 1):
-        jacs.insert(0, coarsen(jacs[0], P_embed))
-    return tuple(jacs)
+    return tuple(coarsen_chain(jacL, P_embed, n_levels, seam))
 
 
 @partial(jax.jit, static_argnames=("grid", "which", "dim", "pallas",
-                                   "sharp"))
+                                   "sharp", "seam"))
 def _prepare_levels(jacs, dir_u, dir_p, vert_pos, active, *, grid,
                     which: str, dim: int, pallas: bool = False,
-                    sharp: bool = False):
+                    sharp: bool = False, seam: Seam | None = None):
     """Per-block level operator data + the coarse dense factor, built
     ONCE per Newton solve (not per restart pass).  With pallas=True the
     finest-level jac block is additionally laid out in the Pallas
@@ -685,8 +981,9 @@ def _prepare_levels(jacs, dir_u, dir_p, vert_pos, active, *, grid,
         active).reshape((1,) + tuple(grid))
     levels = _build_block_levels(list(jacs), dir_u, dir_p, grid,
                                  active_L, lo, hi, k, which,
-                                 sharp=sharp)
-    (cho_c, _lower), scale = _coarse_dense_factor(levels[0], lo, hi, k)
+                                 sharp=sharp, seam=seam)
+    (cho_c, _lower), scale = _coarse_dense_factor(
+        levels[0], lo, hi, k, seam_levels(seam, len(levels))[0])
     # drop the python bool from cho_factor's return (it cannot cross the
     # jit boundary); cho_solve is reconstructed with lower=False
     coarse32 = (cho_c.astype(jnp.float32), scale.astype(jnp.float32))
@@ -740,9 +1037,10 @@ def _pass_setup(fin_free, vert_pos, r_g, rtol, target2, *, grid, which,
 
 
 @partial(jax.jit, static_argnames=("grid", "which", "dim", "degree",
-                                   "inner_max", "stall_window"))
+                                   "inner_max", "stall_window", "seam"))
 def _cg_pass32(levels, coarse32, fine_pad, R0, tol2, *, grid, which,
-               dim, degree=2, inner_max=192, stall_window=16):
+               dim, degree=2, inner_max=192, stall_window=16,
+               seam: Seam | None = None):
     """One float32 lattice-GMG CG pass on the normalized lattice
     residual; returns (best iterate, inner iterations, best rr), f32.
 
@@ -766,14 +1064,15 @@ def _cg_pass32(levels, coarse32, fine_pad, R0, tol2, *, grid, which,
         GY, GX = grid
 
         def fine_op(X):
-            X = jnp.where(fin.free, X, 0.0)
+            X = seam_spread(jnp.where(fin.free, X, 0.0), seam)
             Y = ps.stencil_matvec_prepadded(fine_pad, X, k=k, GY=GY,
                                             GX=GX)
-            return jnp.where(fin.free, Y, 0.0)
+            return jnp.where(fin.free, seam_collect(Y, seam), 0.0)
     else:
-        fine_op = _masked_mv(fin, lo, hi, k)
+        fine_op = _masked_mv(fin, lo, hi, k, seam)
     M32 = make_vcycle(levels, lo, hi, k, degree=degree,
-                      coarse_factor=coarse32, fine_op=fine_op)
+                      coarse_factor=coarse32, fine_op=fine_op,
+                      seam=seam)
     op32 = fine_op
     Z0 = M32(R0)
 
@@ -851,9 +1150,9 @@ def _prepare64(u, phi, phi_old, phi_oold, caL64, sc, *, grid, dim,
         cell_last=True).reshape((ndl, ndl) + cgrid)
 
 
-@partial(jax.jit, static_argnames=("grid", "which", "dim"))
+@partial(jax.jit, static_argnames=("grid", "which", "dim", "seam"))
 def _pass_apply_mat(Xb, scale, vert_pos, x_acc, b, jacL64, dir_u_fin,
-                    dir_p_fin, active, *, grid, which, dim):
+                    dir_p_fin, active, *, grid, which, dim, seam=None):
     """f32 -> f64 boundary of one CG pass, fused into ONE dispatch:
     un-normalize the pass iterate, form the trial accumulate, apply the
     exact f64 Newton operator (stored f64 element matrices, lattice
@@ -871,13 +1170,16 @@ def _pass_apply_mat(Xb, scale, vert_pos, x_acc, b, jacL64, dir_u_fin,
     free_p = ~(dir_p_fin | active_L)
     free = free_u if which == "u" else free_p
     X = jnp.where(free, _to_lat(x_try, vert_pos, grid, k), 0.0)
-    Y = jnp.where(free, matvec(jacL64, X, lo, hi, k), 0.0)
+    Xs = seam_spread(X, seam)
+    Y = jnp.where(free, seam_collect(matvec(jacL64, Xs, lo, hi, k),
+                                     seam), 0.0)
     r_try = b - _to_glob(Y, vert_pos, k)
     rr_try = jnp.vdot(r_try, r_try).real
     if which == "u":
-        Yp = matvec_block(jacL64, X, nvc * dim, nvc * (dim + 1),
+        Yp = matvec_block(jacL64, Xs, nvc * dim, nvc * (dim + 1),
                           lo, hi, k, 1)
-        jp = _to_glob(jnp.where(free_p, Yp, 0.0), vert_pos, 1)
+        jp = _to_glob(jnp.where(free_p, seam_collect(Yp, seam), 0.0),
+                      vert_pos, 1)
     else:
         jp = jnp.zeros_like(r_try)
     return x_try, r_try, rr_try, jp
@@ -902,6 +1204,7 @@ def _solve_split(sys, hier: LatticeHierarchy, u, phi, phi_old, phi_oold,
     kw = dict(dim=sys.dim, with_split=with_split,
               monolithic=sys.monolithic)
     grid = hier.grid
+    seam = hier.seam
 
     import os
     import time as _wt
@@ -955,7 +1258,8 @@ def _solve_split(sys, hier: LatticeHierarchy, u, phi, phi_old, phi_oold,
         sys._split_levels_cache = None
         jacs = _tick("prepare32", _prepare(
             u, phi, phi_old, phi_oold, sys.lattice_ca32, sys.scalars,
-            hier.P_embed, grid=grid, n_levels=hier.n_levels, **kw))
+            hier.P_embed, grid=grid, n_levels=hier.n_levels, seam=seam,
+            **kw))
         jacL64 = _tick("prepare64", _prepare64(
             u, phi, phi_old, phi_oold, sys.lattice_ca64, sys.scalars,
             grid=grid, **kw))
@@ -1004,7 +1308,7 @@ def _solve_split(sys, hier: LatticeHierarchy, u, phi, phi_old, phi_oold,
             levels, coarse32, fine_pad = _prepare_levels(
                 jacs, hier.dir_u, hier.dir_p, hier.vert_pos, active,
                 grid=grid, which=which, dim=sys.dim, pallas=use_pallas,
-                sharp=sharp_spectrum(sys.mesh.n_dofs))
+                sharp=sharp_spectrum(sys.mesh.n_dofs), seam=seam)
             if which == "u":
                 sys._split_levels_cache = (
                     jacs, use_pallas, (levels, coarse32, fine_pad))
@@ -1037,11 +1341,11 @@ def _solve_split(sys, hier: LatticeHierarchy, u, phi, phi_old, phi_oold,
             Xb, k_d, _rrb = _cg_pass32(levels, coarse32, fine_pad, R0,
                                        tol2, grid=grid, which=which,
                                        dim=sys.dim, inner_max=inner_max,
-                                       degree=degree)
+                                       degree=degree, seam=seam)
             x_try, r_try, rr_try_d, jp_d = _pass_apply_mat(
                 Xb, scale_d, hier.vert_pos, x_acc, b, jacL64,
                 hier.dir_u[-1], hier.dir_p[-1], active, grid=grid,
-                which=which, dim=sys.dim)
+                which=which, dim=sys.dim, seam=seam)
             k_h, rr_try = jax.device_get((k_d, rr_try_d))
             total_its += int(k_h)
             rr_try = float(rr_try)
@@ -1102,13 +1406,13 @@ def _solve_split(sys, hier: LatticeHierarchy, u, phi, phi_old, phi_oold,
 
 @partial(jax.jit, static_argnames=("grid", "n_levels", "dim",
                                    "with_split", "monolithic", "degree",
-                                   "inner_max", "passes"))
+                                   "inner_max", "passes", "seam"))
 def _solve_newton_system(u, phi, phi_old, phi_oold, ca64, caL32, sc,
                          vert_pos, dir_u, dir_p, P_embed, con, active,
                          rhs_u, rhs_p, rtol, *, grid, n_levels: int,
                          dim: int, with_split: bool, monolithic: bool,
                          degree: int = 2, inner_max: int = 64,
-                         passes: int = 3):
+                         passes: int = 3, seam: Seam | None = None):
     """Fused Newton-system solve on the tensor-grid lattice.
 
     Same mathematical structure as galerkin.solve_newton_system —
@@ -1142,9 +1446,7 @@ def _solve_newton_system(u, phi, phi_old, phi_oold, ca64, caL32, sc,
         return condense_residual(-ju, -jp, con, active)
 
     # Galerkin coarse lattice matrices
-    jacs = [jacL]
-    for _ in range(n_levels - 1):
-        jacs.insert(0, coarsen(jacs[0], P_embed))
+    jacs = coarsen_chain(jacL, P_embed, n_levels, seam)
 
     # active set on the lattice (phi block)
     active_L = _to_lat(active.astype(jnp.float32), vert_pos, grid,
@@ -1158,10 +1460,11 @@ def _solve_newton_system(u, phi, phi_old, phi_oold, ca64, caL32, sc,
         k, lo, hi = _blk(which, dim)
         levels = _build_block_levels(
             jacs, dir_u, dir_p, grid, active_L, lo, hi, k, which,
-            sharp=sharp_spectrum(int(np.prod(grid)) * (dim + 1)))
+            sharp=sharp_spectrum(int(np.prod(grid)) * (dim + 1)),
+            seam=seam)
         fin = levels[-1]
-        M32 = make_vcycle(levels, lo, hi, k, degree=degree)
-        op32 = _masked_mv(fin, lo, hi, k)
+        M32 = make_vcycle(levels, lo, hi, k, degree=degree, seam=seam)
+        op32 = _masked_mv(fin, lo, hi, k, seam)
         if which == "u":
             op64 = lambda x: op64_both(x, zero_p)[0]
         else:

@@ -34,14 +34,15 @@ def test_detect_tensor_grid():
     mesh = f.extract()
     lay = lat.detect_tensor_grid(mesh)
     assert lay is not None
-    assert lay.grid == (41, 41)
-    # slit meshes (duplicated seam vertices) must NOT be detected
+    assert lay.grid == (41, 41) and lay.seam is None
+    # slit meshes (duplicated lip vertices) come back seam-glued
     import os
     from cracks_tpu.driver import MESH_DIR
     slit = meshio.read_ucd(os.path.join(MESH_DIR, "unit_slit.inp"), dim=2)
     fs = Forest(slit)
     fs.refine_global(2)
-    assert lat.detect_tensor_grid(fs.extract()) is None
+    lay_s = lat.detect_tensor_grid(fs.extract())
+    assert lay_s is not None and lay_s.seam == lat.Seam(s=4, slit_lo=5)
 
 
 def test_lattice_matvec_equals_assembled():
