@@ -40,7 +40,7 @@ def main(argv=None):
         return int(rc)
 
     from .config import load_parameters
-    from .driver import Simulation
+    from .driver import run_prm
 
     overrides = {}
     for extra in argv[1:]:
@@ -50,8 +50,9 @@ def main(argv=None):
 
     p = load_parameters(argv[0], **overrides)
     print(f"Problem dimension: {p.dimension}")
-    sim = Simulation(p)
-    sim.run()
+    # run_prm honors `Resume from` (checkpoint resume) — the CLI must
+    # route through it, not construct a fresh Simulation
+    run_prm(argv[0], **overrides)
     return 0
 
 

@@ -27,6 +27,11 @@ def save_checkpoint(path: str, sim, state) -> None:
         min_cell_diameter=sim.min_cell_diameter,
         constant_k=sim.constant_k, alpha_eps=sim.alpha_eps,
         output_counter=sim.output_counter,
+        # Sneddon refinement-cycle countdown (driver.run) — carried so
+        # a resumed run continues the remaining cycles
+        refinement_cycle=getattr(sim, "refinement_cycle", None),
+        refinement_cycles_left=getattr(sim, "refinement_cycles_left",
+                                       None),
     )
     st = sim.statistics
     stats = dict(columns=st.columns, data=st.data, formats=st.formats,
@@ -46,7 +51,7 @@ def save_checkpoint(path: str, sim, state) -> None:
     )
 
 
-def load_checkpoint(path: str, params):
+def load_checkpoint(path: str, params, verbose: bool = False):
     """Reconstruct (Simulation, SolutionState) from a checkpoint.
 
     The coarse mesh is rebuilt from the parameters (deterministic), the
@@ -58,7 +63,8 @@ def load_checkpoint(path: str, params):
     data = np.load(path, allow_pickle=False)
     meta = json.loads(str(data["meta"]))
 
-    sim = Simulation(params.replace(n_global_pre_refine=0), verbose=False)
+    sim = Simulation(params.replace(n_global_pre_refine=0),
+                     verbose=verbose)
     sim.forest.root = data["forest_root"]
     sim.forest.level = data["forest_level"]
     sim.forest.anchor = data["forest_anchor"]
@@ -75,6 +81,8 @@ def load_checkpoint(path: str, params):
     sim.old_timestep = meta["old_timestep"]
     sim.old_old_timestep = meta["old_old_timestep"]
     sim.output_counter = meta.get("output_counter", -1)
+    sim.refinement_cycle = meta.get("refinement_cycle", None)
+    sim.refinement_cycles_left = meta.get("refinement_cycles_left", None)
     if "statistics" in data:
         # restore the statistics table so the per-step rewrite
         # (cracks.cc:4469-4475 semantics) keeps the pre-checkpoint rows

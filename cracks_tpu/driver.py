@@ -539,8 +539,9 @@ class Simulation:
         forest, System and time-stepping fields), initialization —
         pre-refinement, initial values, old-solution seeding — is
         skipped and the loop continues from the checkpointed step.
-        Sneddon refinement-cycle counters restart (the checkpoint
-        captures the mesh they produced, not the countdown)."""
+        The Sneddon refinement-cycle countdown is carried in the
+        checkpoint meta, so a resumed run continues the remaining
+        cycles instead of re-running the prm value from scratch."""
         p = self.p
         t_start = walltime.time()
         self.log(f"Cells:\t{self.mesh.n_cells}")
@@ -599,8 +600,13 @@ class Simulation:
             self.old_timestep = self.timestep
             self.old_old_timestep = self.timestep
 
-        refinement_cycle = 0
-        n_refinement_cycles = p.n_refinement_cycles
+        # refinement-cycle countdown: persistent attributes so the
+        # checkpoint can carry them (a resumed run must continue the
+        # countdown, not restart it)
+        if getattr(self, "refinement_cycle", None) is None:
+            self.refinement_cycle = 0
+        if getattr(self, "refinement_cycles_left", None) is None:
+            self.refinement_cycles_left = p.n_refinement_cycles
         finishing_timestep_loop = 0.0
         # per-step solver effort (timestep_number, newton_its, linear_its)
         # — the reference prints these in its Newton trace and they are
@@ -787,15 +793,6 @@ class Simulation:
                       file=sys.stderr, flush=True)
             self.timestep_number += 1
 
-            # periodic checkpoint (new capability over the reference,
-            # SURVEY section 5): one rolling restartable snapshot
-            if (p.checkpoint_every > 0 and p.output_dir
-                    and self.timestep_number % p.checkpoint_every == 0):
-                from .checkpoint import save_checkpoint
-                save_checkpoint(
-                    os.path.join(p.output_dir, "checkpoint.npz"),
-                    self, state)
-
             # ---- Sneddon stationarity (cracks.cc:4483-4560) ----
             if p.test_case == "sneddon" and finishing_timestep_loop < 1e-5:
                 tcv = float(tcv_d)
@@ -805,6 +802,7 @@ class Simulation:
                          f"error= {abs(tcv - ref)}")
                 st.add_value("TCV", tcv)
                 st.set_scientific("TCV", 8)
+                self._write_cod_array(state)
                 self._write_cod_profile(state)
                 l2err = qoi.sneddon_phi_l2_error(
                     self.mesh, np.asarray(state.phi), self.alpha_eps)
@@ -812,14 +810,27 @@ class Simulation:
                 st.add_value("phi_L2_error", l2err)
                 st.set_scientific("phi_L2_error", 8)
 
-                if n_refinement_cycles == 0:
+                if self.refinement_cycles_left == 0:
                     break
-                n_refinement_cycles -= 1
+                self.refinement_cycles_left -= 1
                 self.log(f"\n==================\nRefinement cycle "
-                         f"{refinement_cycle}\n------------------")
+                         f"{self.refinement_cycle}\n------------------")
                 self.refine_mesh(state)
-                refinement_cycle += 1
+                self.refinement_cycle += 1
                 self.interpolate_initial_values(state)
+
+            # periodic checkpoint (new capability over the reference,
+            # SURVEY section 5): one rolling restartable snapshot.
+            # Taken AFTER the stationarity block so a snapshot reflects
+            # any refinement cycle this step triggered (mesh + the
+            # remaining-cycle countdown) — a resumed run continues
+            # exactly where the uninterrupted run would.
+            if (p.checkpoint_every > 0 and p.output_dir
+                    and self.timestep_number % p.checkpoint_every == 0):
+                from .checkpoint import save_checkpoint
+                save_checkpoint(
+                    os.path.join(p.output_dir, "checkpoint.npz"),
+                    self, state)
 
             if self.timestep_number > p.max_no_timesteps:
                 break
@@ -872,6 +883,35 @@ class Simulation:
             return E / (2 * (1 + self.p.poisson_ratio_nu))
         return self.sys.mu_cells
 
+    def _write_cod_array(self, state: SolutionState):
+        """compute_cod_array (cracks.cc:3339-3449): the 75-bucket COD
+        profile vs the exact Sneddon opening 1.92e-3*sqrt(1-x^2),
+        written to cod-NN.txt ("x value exact" per line) with the
+        profile L2 error norm and the |COD(0) - 3.84e-4| middle error
+        printed in the reference's format (cracks.cc:3427-3436).
+
+        The reference ships this but leaves the call site commented out
+        as "very expensive" (cracks.cc:4491); here the batched bucketed
+        sweep is cheap enough to run at every Sneddon stationarity
+        event whenever an output directory is configured."""
+        if not self.p.output_dir or self.mesh.dim != 2:
+            return
+        u = self._u_mat(state)
+        phi = np.asarray(state.phi)
+        xs, vals, exact = qoi.compute_cod_array(self.mesh, u, phi)
+        middle = qoi.compute_cod(self.mesh, u, phi, 0.0)
+        path = os.path.join(self.p.output_dir,
+                            f"cod-{self.timestep_number:02d}.txt")
+        self.log(f"writing {os.path.basename(path)}")
+        with open(path, "w") as f:
+            for x, v, e in zip(xs, vals, exact):
+                f.write(f"{x} {v} {e}\n")
+        error = float(np.sqrt(np.sum((vals - exact) ** 2)))
+        err_middle = abs(middle - 3.84e-4)
+        self.log(f"ERROR: {error} alpha_eps: {self.alpha_eps} "
+                 f"k: {self.constant_k} hmin: {self.min_cell_diameter} "
+                 f"errmiddle: {err_middle} dofs: {self.mesh.n_dofs}")
+
     def _write_cod_profile(self, state: SolutionState):
         """compute_functional_values (cracks.cc:3704-3725): the full
         769-line COD sweep over x in [-1.5, 1.5] (one batched
@@ -902,7 +942,7 @@ def run_prm(path_or_text: str, **overrides):
     p = load_parameters(path_or_text, **overrides)
     if p.resume_from:
         from .checkpoint import load_checkpoint
-        sim, state = load_checkpoint(p.resume_from, p)
+        sim, state = load_checkpoint(p.resume_from, p, verbose=True)
         state = sim.run(state)
         return sim, state
     sim = Simulation(p)

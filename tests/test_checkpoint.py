@@ -92,3 +92,68 @@ def test_cli_checkpoint_and_resume_matches_uninterrupted(tmp_path):
     rel = diff / np.maximum(np.abs(a), 1e-300)
     both_empty = np.isnan(a) & np.isnan(b)   # '""' auto-fill cells
     assert ((diff <= 1e-6) | (rel <= 1e-8) | both_empty).all(), (a, b)
+
+
+def test_cli_main_routes_resume(tmp_path, capsys):
+    """`python -m cracks_tpu <prm> resume_from=...` must go through
+    run_prm's checkpoint-resume path, not construct a fresh Simulation
+    (regression: main() used to bypass run_prm and silently restart
+    from timestep 0)."""
+    from cracks_tpu.__main__ import main
+
+    prm = os.path.join(regression.PRM_DIR, "sneddon_2d_1.prm")
+    out_b, out_c = tmp_path / "intr", tmp_path / "res"
+    assert main([prm, "max_no_timesteps=1", "checkpoint_every=1",
+                 f"output_dir={out_b}"]) == 0
+    capsys.readouterr()
+    assert main([prm, "max_no_timesteps=2",
+                 f"resume_from={out_b / 'checkpoint.npz'}",
+                 f"output_dir={out_c}"]) == 0
+    out = capsys.readouterr().out
+    # a resumed run skips initialization and continues at step 2
+    assert "Prerefinement" not in out
+    assert "Timestep 0" not in out
+    assert "Timestep 2" in out
+
+
+def test_resume_carries_refinement_cycle_countdown(tmp_path):
+    """A checkpoint taken AFTER a Sneddon stationarity refinement cycle
+    carries the remaining-cycle countdown: the resumed run must NOT
+    re-run `Adaptive refinement cycles` from the prm value (which would
+    refine the mesh once more than the uninterrupted run).
+
+    sneddon_2d_1 (1 refinement cycle): the uninterrupted 4-step run
+    refines once at stationarity and ends on the 777-DoF mesh
+    (tests/sneddon_2d_1.output:107).  The interrupted run's rolling
+    per-step checkpoint ends with a snapshot of the refined mesh with 0
+    cycles left; resuming it to the same step count must end on the
+    same mesh with the countdown exhausted."""
+    from cracks_tpu.driver import run_prm
+
+    prm = os.path.join(regression.PRM_DIR, "sneddon_2d_1.prm")
+    out_a = tmp_path / "full"
+    sim_full, _ = run_prm(prm, output_dir=str(out_a), max_no_timesteps=5)
+    assert sim_full.refinement_cycles_left == 0
+    assert sim_full.mesh.n_dofs == 777
+
+    # interrupted at the step whose stationarity consumed the one
+    # refinement cycle: the rolling snapshot captures the refined mesh
+    # and the exhausted countdown
+    out_b = tmp_path / "ckpt"
+    sim_b, _ = run_prm(prm, output_dir=str(out_b), max_no_timesteps=3,
+                       checkpoint_every=1)
+    assert sim_b.refinement_cycles_left == 0
+    assert sim_b.mesh.n_dofs == 777
+
+    out_c = tmp_path / "resumed"
+    sim_c, _ = run_prm(prm, output_dir=str(out_c), max_no_timesteps=5,
+                       resume_from=str(out_b / "checkpoint.npz"))
+    assert sim_c.refinement_cycles_left == 0
+    assert sim_c.mesh.n_dofs == sim_full.mesh.n_dofs
+    a = regression.parse_statistics(sim_full.statistics.write_text())[1]
+    b = regression.parse_statistics(sim_c.statistics.write_text())[1]
+    assert a.shape == b.shape
+    diff = np.abs(a - b)
+    rel = diff / np.maximum(np.abs(a), 1e-300)
+    both_empty = np.isnan(a) & np.isnan(b)
+    assert ((diff <= 1e-6) | (rel <= 1e-8) | both_empty).all(), (a, b)

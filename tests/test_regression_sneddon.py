@@ -31,6 +31,34 @@ def test_tcv_and_l2_error(sneddon_run):
     assert l2 == pytest.approx(0.978645, abs=1e-5)
 
 
+def test_cod_array_file_and_middle_value(sneddon_run):
+    """cod-NN.txt (compute_cod_array, cracks.cc:3339-3449) is written
+    next to cod-NNb.txt at Sneddon stationarity; COD at x=0 from the
+    line-integral sweep pins the reference's 0.00296695
+    (tests/sneddon_2d_1.output cod table, 453 DoFs)."""
+    import glob
+    import os
+
+    sim, _ = sneddon_run
+    out = sim.p.output_dir
+    files = sorted(glob.glob(os.path.join(out, "cod-??.txt")))
+    assert files, "cod-NN.txt was not written at stationarity"
+    data = np.loadtxt(files[0])
+    assert data.shape[1] == 3
+    xs, exact = data[:, 0], data[:, 2]
+    np.testing.assert_allclose(
+        exact, 1.92e-3 * np.sqrt(np.maximum(0.0, 1.0 - xs ** 2)),
+        atol=1e-15)
+    # the paired b-sweep carries the exact line-integral COD; at x=0 it
+    # must reproduce the golden table value on the 453-DoF mesh
+    bfile = files[0].replace(".txt", "b.txt")
+    assert os.path.exists(bfile), "cod-NNb.txt pair missing"
+    sweep = np.loadtxt(bfile)
+    at0 = sweep[np.isclose(sweep[:, 0], 0.0)]
+    assert len(at0) == 1
+    assert at0[0, 1] == pytest.approx(0.00296695, abs=1e-8)
+
+
 def test_final_mesh_refined(sneddon_run):
     sim, _ = sneddon_run
     # after the stationarity-triggered refinement cycle:
