@@ -347,18 +347,20 @@ class Simulation:
                     self.forest, self.mesh, p, lam_fn, dirichlet_fn,
                     dtype=self.sys.dtype)
         # sharded-DoF production mode (solvers/lattice_newton.py):
-        # lattice-layout state, slab-sharded over the device mesh
+        # lattice-layout state, slab-sharded over the device mesh.
+        # Seam (slit) lattices are supported: the duplication-map
+        # conjugation S^T . S is threaded through the sharded heads
+        # and the split solve (matmul-form seam ops partition under
+        # GSPMD).
         self.sys.use_lattice_state = (
             self.p.dof_sharding == "lattice"
             and getattr(self.sys, "lattice_hierarchy", None) is not None
-            and getattr(self.sys.lattice_hierarchy, "seam", None) is None
             and self.p.outer_solver == "active set")
         if (self.p.dof_sharding == "lattice"
                 and not self.sys.use_lattice_state):
             self.log("DoF sharding = lattice requested but unavailable "
-                     "(needs the seam-free tensor-grid lattice path + "
-                     "active-set solver); falling back to replicated "
-                     "DoF vectors")
+                     "(needs the tensor-grid lattice path + active-set "
+                     "solver); falling back to replicated DoF vectors")
         if os.environ.get("CRACKS_TPU_STEP_LOG") == "1":
             kind = ("lattice" if getattr(self.sys, "lattice_hierarchy",
                                          None) is not None

@@ -98,22 +98,49 @@ class Seam(NamedTuple):
 
 def seam_spread(X, seam: Seam | None):
     """Canonical -> consistent: copy the shared values into the mirror
-    row so the stencil sees the function on both sides of the seam."""
+    row so the stencil sees the function on both sides of the seam.
+
+    Expressed as a one-hot row matmul + masked select rather than a
+    cross-row slice update: arithmetically identical (each output
+    element is a plain copy), but GSPMD partitions it correctly on a
+    row-slab-sharded lattice — the chained `.at[:, s+1, :lo].set(...)`
+    form miscompiled at slab boundaries when composed with the window
+    scatter under the XLA CPU partitioner (wrong rows far from the
+    seam, observed 2026-08-19)."""
     if seam is None:
         return X
     s, lo = seam.s, seam.slit_lo
-    return X.at[:, s + 1, :lo].set(X[:, s, :lo])
+    gy, gx = X.shape[1], X.shape[2]
+    E = np.eye(gy)
+    E[s + 1] = 0.0
+    E[s + 1, s] = 1.0
+    M = np.zeros((gy, gx), bool)
+    M[s + 1, :lo] = True
+    Xs = jnp.einsum("rq,kqc->krc", jnp.asarray(E, X.dtype), X,
+                    precision=jax.lax.Precision.HIGHEST)
+    return jnp.where(jnp.asarray(M), Xs, X)
 
 
 def seam_collect(Y, seam: Seam | None):
     """Consistent -> canonical: sum the mirror-row contributions into
-    the shared row and zero the mirror (the S^T of seam_spread)."""
+    the shared row and zero the mirror (the S^T of seam_spread).
+    Matmul + masked-select formulation for GSPMD partition-safety (see
+    seam_spread); each output element is a copy, a zero, or the same
+    two-term sum as the slice-update form."""
     if seam is None:
         return Y
     s, lo = seam.s, seam.slit_lo
-    t = Y[:, s, :lo] + Y[:, s + 1, :lo]
-    return Y.at[:, s, :lo].set(t).at[:, s + 1, :lo].set(
-        jnp.zeros_like(t))
+    gy, gx = Y.shape[1], Y.shape[2]
+    A = np.eye(gy)
+    A[s, s + 1] = 1.0
+    Ms = np.zeros((gy, gx), bool)
+    Ms[s, :lo] = True
+    Ms1 = np.zeros((gy, gx), bool)
+    Ms1[s + 1, :lo] = True
+    Ys = jnp.einsum("rq,kqc->krc", jnp.asarray(A, Y.dtype), Y,
+                    precision=jax.lax.Precision.HIGHEST)
+    return jnp.where(jnp.asarray(Ms1), jnp.zeros((), Y.dtype),
+                     jnp.where(jnp.asarray(Ms), Ys, Y))
 
 
 def seam_coarse(seam: Seam | None) -> Seam | None:
@@ -1646,40 +1673,44 @@ def element_matrices_lattice(U, P, P_old, P_oold, caL, sc, *, dim,
 
 
 @partial(jax.jit, static_argnames=("grid", "dim", "n_levels",
-                                   "with_split", "monolithic", "ns_jac"))
+                                   "with_split", "monolithic", "ns_jac",
+                                   "seam"))
 def _prepare_lat(U, P, P_old, P_oold, caL32, sc, P_embed, *, grid, dim,
-                 n_levels, with_split, monolithic, ns_jac=None):
+                 n_levels, with_split, monolithic, ns_jac=None,
+                 seam=None):
     """jac32 chain from (padded) lattice-layout state (sharded-DoF
-    variant of _prepare)."""
+    variant of _prepare).  Canonical seam state is spread so the
+    window gathers see the shared values on both slit lips."""
     gy = grid[0]
-    f32 = lambda x: _unpad_rows(x, gy).astype(jnp.float32)
+    f32 = lambda x: seam_spread(_unpad_rows(x, gy), seam).astype(
+        jnp.float32)
     sc32 = physics.Scalars(*(x.astype(jnp.float32) for x in sc))
     jacL = element_matrices_lattice(
         f32(U), f32(P), f32(P_old), f32(P_oold), caL32, sc32, dim=dim,
         with_split=with_split, monolithic=monolithic)
-    jacs = [jacL]
-    for _ in range(n_levels - 1):
-        jacs.insert(0, coarsen(jacs[0], P_embed))
-    return _maybe_shard_jacs(jacs, ns_jac)
+    return _maybe_shard_jacs(
+        list(coarsen_chain(jacL, P_embed, n_levels, seam)), ns_jac)
 
 
 @partial(jax.jit, static_argnames=("grid", "dim", "with_split",
-                                   "monolithic", "ns_jac"))
+                                   "monolithic", "ns_jac", "seam"))
 def _prepare64_lat(U, P, P_old, P_oold, caL64, sc, *, grid, dim,
-                   with_split, monolithic, ns_jac=None):
+                   with_split, monolithic, ns_jac=None, seam=None):
     """Exact f64 element Jacobians from (padded) lattice-layout state
     (sharded-DoF variant of _prepare64)."""
     gy = grid[0]
-    up = lambda x: _unpad_rows(x, gy)
+    up = lambda x: seam_spread(_unpad_rows(x, gy), seam)
     jac = element_matrices_lattice(
         up(U), up(P), up(P_old), up(P_oold), caL64, sc, dim=dim,
         with_split=with_split, monolithic=monolithic)
     return _maybe_shard_jacs([jac], ns_jac)[0]
 
 
-@partial(jax.jit, static_argnames=("grid", "which", "dim", "sharp"))
+@partial(jax.jit, static_argnames=("grid", "which", "dim", "sharp",
+                                   "seam"))
 def _prepare_levels_lat(jacs, dir_u, dir_p, active_pad, *, grid,
-                        which: str, dim: int, sharp: bool = False):
+                        which: str, dim: int, sharp: bool = False,
+                        seam: Seam | None = None):
     """Per-block level operator data from a (padded) lattice-layout
     active mask (sharded-DoF variant of _prepare_levels; no Pallas —
     the custom call does not partition under GSPMD)."""
@@ -1687,8 +1718,9 @@ def _prepare_levels_lat(jacs, dir_u, dir_p, active_pad, *, grid,
     active_L = _unpad_rows(active_pad, grid[0])
     levels = _build_block_levels(list(jacs), dir_u, dir_p, grid,
                                  active_L, lo, hi, k, which,
-                                 sharp=sharp)
-    (cho_c, _lower), scale = _coarse_dense_factor(levels[0], lo, hi, k)
+                                 sharp=sharp, seam=seam)
+    (cho_c, _lower), scale = _coarse_dense_factor(
+        levels[0], lo, hi, k, seam_levels(seam, len(levels))[0])
     coarse32 = (cho_c.astype(jnp.float32), scale.astype(jnp.float32))
     return tuple(levels), coarse32
 
@@ -1710,9 +1742,10 @@ def _pass_setup_lat(fin_free, R_pad, rtol, target2, *, grid, which, dim):
     return R0, scale, tol2, rr0
 
 
-@partial(jax.jit, static_argnames=("grid", "which", "dim", "gyp", "ns"))
+@partial(jax.jit, static_argnames=("grid", "which", "dim", "gyp", "ns",
+                                   "seam"))
 def _pass_apply_mat_lat(Xb, scale, X_acc, B, jacL64, free_u, free_p, *,
-                        grid, which, dim, gyp, ns=None):
+                        grid, which, dim, gyp, ns=None, seam=None):
     """f32 -> f64 boundary of one CG pass, lattice layout throughout
     (sharded-DoF variant of _pass_apply_mat): trial accumulate, exact
     stored-f64 lattice matvec, trial residual.  X_acc/B arrive padded;
@@ -1725,14 +1758,15 @@ def _pass_apply_mat_lat(Xb, scale, X_acc, B, jacL64, free_u, free_p, *,
     b = _unpad_rows(B, gy)
     X_try = x_acc + Xb.astype(jnp.float64) * scale
     free = free_u if which == "u" else free_p
-    X = jnp.where(free, X_try, 0.0)
-    Y = jnp.where(free, matvec(jacL64, X, lo, hi, k), 0.0)
+    Xs = seam_spread(jnp.where(free, X_try, 0.0), seam)
+    Y = jnp.where(free, seam_collect(matvec(jacL64, Xs, lo, hi, k),
+                                     seam), 0.0)
     R_try = b - Y
     rr_try = jnp.sum(R_try * R_try)
     if which == "u":
-        Yp = matvec_block(jacL64, X, nvc * dim, nvc * (dim + 1),
+        Yp = matvec_block(jacL64, Xs, nvc * dim, nvc * (dim + 1),
                           lo, hi, k, 1)
-        JP = jnp.where(free_p, Yp, 0.0)
+        JP = jnp.where(free_p, seam_collect(Yp, seam), 0.0)
     else:
         JP = jnp.zeros((1,) + tuple(grid), jnp.float64)
     return (_pad_rows(X_try, gyp, ns), _pad_rows(R_try, gyp, ns),
@@ -1790,10 +1824,11 @@ def _solve_split_lat(sys, hier: LatticeHierarchy, U, P, P_old, P_oold,
         sys._split_levels_cache_lat = None
         jacs = _prepare_lat(U, P, P_old, P_oold, sys.lattice_ca32,
                             sys.scalars, hier.P_embed, grid=grid,
-                            n_levels=hier.n_levels, ns_jac=ns_jac, **kw)
+                            n_levels=hier.n_levels, ns_jac=ns_jac,
+                            seam=hier.seam, **kw)
         jacL64 = _prepare64_lat(U, P, P_old, P_oold, sys.lattice_ca64,
                                 sys.scalars, grid=grid, ns_jac=ns_jac,
-                                **kw)
+                                seam=hier.seam, **kw)
         sys._split_jac_cache_lat = ((U, P, P_old, P_oold, sc_vec),
                                     (with_split, sys.monolithic),
                                     jacs, jacL64)
@@ -1816,7 +1851,7 @@ def _solve_split_lat(sys, hier: LatticeHierarchy, U, P, P_old, P_oold,
             levels, coarse32 = _prepare_levels_lat(
                 jacs, hier.dir_u, hier.dir_p, active, grid=grid,
                 which=which, dim=sys.dim,
-                sharp=sharp_spectrum(sys.mesh.n_dofs))
+                sharp=sharp_spectrum(sys.mesh.n_dofs), seam=hier.seam)
             if which == "u":
                 sys._split_levels_cache_lat = (jacs, (levels, coarse32))
         fin_free = levels[-1].free
@@ -1838,10 +1873,11 @@ def _solve_split_lat(sys, hier: LatticeHierarchy, U, P, P_old, P_oold,
             Xb, k_d, _rrb = _cg_pass32(levels, coarse32, None, R0, tol2,
                                        grid=grid, which=which,
                                        dim=sys.dim, inner_max=inner_max,
-                                       degree=degree)
+                                       degree=degree, seam=hier.seam)
             X_try, R_try, rr_try_d, JP_d = _pass_apply_mat_lat(
                 Xb, scale_d, X_acc, B, jacL64, free_u_fin, free_p_fin,
-                grid=grid, which=which, dim=sys.dim, gyp=gyp, ns=ns)
+                grid=grid, which=which, dim=sys.dim, gyp=gyp, ns=ns,
+                seam=hier.seam)
             k_h, rr_try = jax.device_get((k_d, rr_try_d))
             total_its += int(k_h)
             rr_try = float(rr_try)

@@ -22,8 +22,11 @@ slice back to the true grid on entry (lattice._unpad_rows).
 Selected by ``dof_sharding = lattice`` (TPU parameters / "DoF
 sharding"); requires the tensor-grid lattice fast path (uniformly
 refined rect/cube meshes, no hanging nodes) — exactly the regime where
-replication stops fitting HBM.  Flat global vectors appear only at the
-solver entry/exit boundary (initial BCs in, driver state out).
+replication stops fitting HBM.  Seam-glued slit lattices (the
+unit_slit miehe family) are supported: every residual is conjugated
+S^T . S through seam_spread/seam_collect, whose matmul form partitions
+under GSPMD.  Flat global vectors appear only at the solver entry/exit
+boundary (initial BCs in, driver state out).
 """
 
 from __future__ import annotations
@@ -35,17 +38,29 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import lattice
-from .lattice import _pad_rows, _unpad_rows
+from .lattice import (_pad_rows, _unpad_rows, seam_collect, seam_spread)
 from .newton import NewtonLog, NoConvergence, _flips_within_band
 
 
+def _lat_residual_seam(U, P, P_old, P_oold, caL, sc, *, dim, with_split,
+                       seam):
+    """Canonical-form lattice residual: spread the seam so the window
+    stencil sees both slit lips, collect the mirror contributions back
+    (S^T r for the duplication map S; no-op for seam-free grids)."""
+    sp = lambda X: seam_spread(X, seam)
+    RU, RP = lattice.lattice_residual(
+        sp(U), sp(P), sp(P_old), sp(P_oold), caL, sc, dim=dim,
+        with_split=with_split, monolithic=False)
+    return seam_collect(RU, seam), seam_collect(RP, seam)
+
+
 @partial(jax.jit, static_argnames=("grid", "dim", "with_split",
-                                   "can_skip", "gyp", "ns"))
+                                   "can_skip", "gyp", "ns", "seam"))
 def _fused_active_set_update_lat(U, P, P_old, P_oold, tot_p, pde_u_in,
                                  pde_p_in, resid_ok, active_old, cycling,
                                  dir_u, dir_p, diag_mass, c_weight, caL,
                                  sc, *, grid, dim, with_split, can_skip,
-                                 gyp, ns=None):
+                                 gyp, ns=None, seam=None):
     """Lattice-layout PDAS iteration head (one dispatch): indicator,
     set update, pinning, re-assembly, condensation and the bookkeeping
     scalars (cracks.cc:2822-2918).  Same logic as newton.
@@ -61,7 +76,10 @@ def _fused_active_set_update_lat(U, P, P_old, P_oold, tot_p, pde_u_in,
     dir_u, dir_p, diag_mass = up(dir_u), up(dir_p), up(diag_mass)
 
     gap = P - P_old
-    indicator = tot_p / diag_mass + c_weight * gap
+    # seam lattices carry zero-mass dead/mirror slots inside the true
+    # grid; guard the divide so no NaN enters the bookkeeping maxima
+    diag_safe = jnp.where(diag_mass > 0, diag_mass, 1.0)
+    indicator = tot_p / diag_safe + c_weight * gap
     # absolute indicator floor against f64-emulation noise — identical
     # to the flat head (see newton._fused_active_set_update)
     atol = 1e-12 * jnp.maximum(c_weight, sc.G_c / sc.alpha_eps)
@@ -69,9 +87,9 @@ def _fused_active_set_update_lat(U, P, P_old, P_oold, tot_p, pde_u_in,
     P = jnp.where(active, P_old, P)
 
     def reassemble(_):
-        RU, RP = lattice.lattice_residual(
-            U, P, P_old, P_oold, caL, sc, dim=dim,
-            with_split=with_split, monolithic=False)
+        RU, RP = _lat_residual_seam(U, P, P_old, P_oold, caL, sc,
+                                    dim=dim, with_split=with_split,
+                                    seam=seam)
         pu = jnp.where(dir_u, 0.0, RU)
         pp = jnp.where(dir_p | active, 0.0, RP)
         return RP, pu, pp
@@ -97,10 +115,11 @@ def _fused_active_set_update_lat(U, P, P_old, P_oold, tot_p, pde_u_in,
 
 
 @partial(jax.jit, static_argnames=("grid", "dim", "with_split",
-                                   "max_steps", "gyp", "ns"))
+                                   "max_steps", "gyp", "ns", "seam"))
 def _fused_line_search_lat(U, P, DU, DP, P_old, P_oold, active, dir_u,
                            dir_p, caL, sc, res0, damping, *, grid, dim,
-                           with_split, max_steps, gyp, ns=None):
+                           with_split, max_steps, gyp, ns=None,
+                           seam=None):
     """Lattice-layout backtracking line search, one dispatch
     (cracks.cc:2940-2957); bookkeeping identical to newton.
     _fused_line_search (failed search restores the iterate but keeps the
@@ -115,9 +134,9 @@ def _fused_line_search_lat(U, P, DU, DP, P_old, P_oold, active, dir_u,
         scale = damping ** k
         Ut = U + DU * scale
         Pt = P + DP * scale
-        RU, RP = lattice.lattice_residual(
-            Ut, Pt, P_old, P_oold, caL, sc, dim=dim,
-            with_split=with_split, monolithic=False)
+        RU, RP = _lat_residual_seam(Ut, Pt, P_old, P_oold, caL, sc,
+                                    dim=dim, with_split=with_split,
+                                    seam=seam)
         pu = jnp.where(dir_u, 0.0, RU)
         pp = jnp.where(dir_p | active, 0.0, RP)
         res = jnp.sqrt(jnp.sum(pu * pu) + jnp.sum(pp * pp))
@@ -146,17 +165,17 @@ def _fused_line_search_lat(U, P, DU, DP, P_old, P_oold, active, dir_u,
 
 
 @partial(jax.jit, static_argnames=("grid", "dim", "with_split", "gyp",
-                                   "ns"))
+                                   "ns", "seam"))
 def _initial_assemble_lat(U, P, P_old, P_oold, active, dir_u, dir_p,
                           caL, sc, *, grid, dim, with_split, gyp,
-                          ns=None):
+                          ns=None, seam=None):
     """Initial residual assembly + condensation (cracks.cc:2790-2791),
     padded lattice layout, one dispatch."""
     gy = grid[0]
     up = lambda x: _unpad_rows(x, gy)
-    RU, RP = lattice.lattice_residual(
+    RU, RP = _lat_residual_seam(
         up(U), up(P), up(P_old), up(P_oold), caL, sc, dim=dim,
-        with_split=with_split, monolithic=False)
+        with_split=with_split, seam=seam)
     pu = jnp.where(up(dir_u), 0.0, RU)
     pp = jnp.where(up(dir_p) | up(active), 0.0, RP)
     res = jnp.sqrt(jnp.sum(pu * pu) + jnp.sum(pp * pp))
@@ -203,10 +222,12 @@ def newton_active_set_lattice(sys, state, time: float,
     dir_p = place(jnp.asarray(hier.dir_p[-1]))
     caL = sys.lattice_ca64
 
+    seam = hier.seam
     active = place(jnp.zeros((1,) + grid, dtype=bool))
     tot_p, pde_u, pde_p, res0_d = _initial_assemble_lat(
         U, P, P_old, P_oold, active, dir_u, dir_p, caL, sys.scalars,
-        grid=grid, dim=dim, with_split=with_split, gyp=gyp, ns=ns)
+        grid=grid, dim=dim, with_split=with_split, gyp=gyp, ns=ns,
+        seam=seam)
     newton_residual = float(res0_d)
     old_newton_residual = newton_residual
     log.print_line(0, "", "", f"{newton_residual:.6e}", verbose=verbose)
@@ -231,7 +252,7 @@ def newton_active_set_lattice(sys, state, time: float,
                 jnp.asarray(resid_ok), active_old, cycling, dir_u,
                 dir_p, diag_mass, c_weight, caL, sys.scalars,
                 grid=grid, dim=dim, with_split=with_split,
-                can_skip=True, gyp=gyp, ns=ns)
+                can_skip=True, gyp=gyp, ns=ns, seam=seam)
         (n_cyc_h, n_act_h, chg_h, left_h, ind_flip_h,
          ind_act_h) = jax.device_get(
             (n_cyc_d, n_active_d, changed_d, left_d, ind_flip_d,
@@ -259,7 +280,7 @@ def newton_active_set_lattice(sys, state, time: float,
             p.line_search_damping, grid=grid, dim=dim,
             with_split=with_split,
             max_steps=max(1, p.max_no_line_search_steps), gyp=gyp,
-            ns=ns)
+            ns=ns, seam=seam)
         res_h, ls_h = jax.device_get((res_d, ls_d))
         new_newton_residual = float(res_h)
         line_search_step = int(ls_h)

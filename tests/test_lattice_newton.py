@@ -151,6 +151,35 @@ def test_np8_lattice_sharded_state_is_sharded():
 
 
 @pytest.mark.slow
+def test_np1_np8_parity_lattice_sharded_seam():
+    """Seam-glued slit lattice (miehe_shear, unit_slit mesh) through
+    the sharded-DoF path: np1 replicated == np8 lattice-sharded on the
+    golden trajectory head (the r4 gap: driver.py used to exclude
+    `seam is not None` from the sharded mode)."""
+    import os
+
+    from cracks_tpu.config import load_parameters
+    from tests.regression import PRM_DIR
+
+    base = dict(output_dir="", max_no_timesteps=2, direct_solver=False,
+                linear_solver="cg", preconditioner="gmg", cg_rtol=1e-10,
+                mixed_precision_cg=True)
+    prm = os.path.join(PRM_DIR, "miehe_shear_2.prm")
+    sim1 = _run(load_parameters(prm, **base))
+    sim8 = _run(load_parameters(prm, n_devices=8,
+                                dof_sharding="lattice", **base))
+    assert sim8.sys.use_lattice_state
+    assert sim8.sys.lattice_hierarchy.seam is not None
+    for col in ("Bulk Energy", "Crack Energy", "Load x"):
+        a = np.asarray(sim1.statistics.data[col], dtype=float)
+        b = np.asarray(sim8.statistics.data[col], dtype=float)
+        # numdiff semantics (tests/run_test.sh:13): abs 1e-6 OR rel 1e-8
+        ok = (np.abs(a - b) <= 1e-6) | (np.abs(a - b)
+                                        <= 1e-7 * np.abs(a))
+        assert ok.all(), (col, a, b)
+
+
+@pytest.mark.slow
 def test_np8_lattice_sharded_3d():
     """3d octree-lattice variant of the sharded-DoF path (leading grid
     axis = GZ)."""
