@@ -113,6 +113,12 @@ class System:
         self.lattice_ca32 = None
         self._lattice_lay = None
         self._lattice_ca64 = None
+        # sharded-DoF halo-pool mode (solvers/halo_newton) — general
+        # meshes (hanging nodes) when the lattice fast path is absent
+        self.halo_partition = None
+        self.halo_galerkin_hierarchy = None
+        self._halo_heads = None
+        self.use_halo_state = False
         # context (set by the driver before each nonlinear solve)
         self.scalars: physics.Scalars = None
         self.with_split: bool = False
@@ -357,10 +363,36 @@ class Simulation:
             and getattr(self.sys, "lattice_hierarchy", None) is not None
             and self.p.outer_solver == "active set")
         if (self.p.dof_sharding == "lattice"
+                and not self.sys.use_lattice_state
+                and self.p.outer_solver == "active set"
+                and self.sys._device_mesh is not None):
+            # general-mesh sharded-DoF fallback: owned+ghost halo pool
+            # (hanging nodes supported) — the reference distributes
+            # every mesh type (cracks.cc:1622-1628)
+            from .parallel.halo import build_halo_partition
+            from .parallel.sharding import cell_axis  # noqa: F401
+            n_shards = int(self.sys._device_mesh.devices.size)
+            part = build_halo_partition(
+                self.mesh, self.sys.lam_cells, self.sys.mu_cells,
+                n_shards)
+            from .parallel.halo import device_put_partition
+            self.sys.halo_partition = device_put_partition(
+                part, self.sys._device_mesh)
+            self.sys.use_halo_state = True
+            if self.p.preconditioner == "gmg":
+                from .solvers import halo_galerkin
+                self.sys.halo_galerkin_hierarchy = (
+                    halo_galerkin.build_pooled_hierarchy(
+                        self.forest, self.mesh, self.sys,
+                        self.sys.halo_partition))
+            self.log("DoF sharding = lattice: no tensor-grid fast "
+                     "path on this mesh; engaging the owned+ghost "
+                     "halo-pool sharded mode")
+        elif (self.p.dof_sharding == "lattice"
                 and not self.sys.use_lattice_state):
             self.log("DoF sharding = lattice requested but unavailable "
-                     "(needs the tensor-grid lattice path + active-set "
-                     "solver); falling back to replicated DoF vectors")
+                     "(needs the active-set solver and a multi-device "
+                     "mesh); falling back to replicated DoF vectors")
         if os.environ.get("CRACKS_TPU_STEP_LOG") == "1":
             kind = ("lattice" if getattr(self.sys, "lattice_hierarchy",
                                          None) is not None
@@ -628,6 +660,10 @@ class Simulation:
                 from .solvers.lattice_newton import newton_active_set_lattice
                 return newton_active_set_lattice(sys_, state_, time_,
                                                  verbose=verbose)
+            if getattr(sys_, "use_halo_state", False):
+                from .solvers.halo_newton import newton_active_set_halo
+                return newton_active_set_halo(sys_, state_, time_,
+                                              verbose=verbose)
             return newton.newton_active_set(sys_, state_, time_,
                                             verbose=verbose)
 

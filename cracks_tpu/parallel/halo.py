@@ -23,10 +23,15 @@ Both directions are the SAME primitive (scatter-add into pool, psum,
 gather), mirroring how p4est's ghost layer is one neighbor exchange
 pattern used in both directions.
 
-Restriction: hanging-node constraints are not distributed here (the
-production adaptive path uses the replicated-vector formulation); the
-halo path targets large uniform production meshes where replication
-stops fitting in HBM.
+Hanging-node constraints ARE distributed: each shard's vertex pool is
+extended with the masters of every locally-seen hanging vertex, the Q1
+interpolation H and its transpose H^T are applied shard-locally (the
+flat ops/constraints.py stencils in local indices), and the same pool
+exchange combines the distributed master rows — deal.II's ghosted
+AffineConstraints::distribute_local_to_global pattern
+(cracks.cc:2439-2464) on the TPU pool primitive.  Like the flat path,
+constraint chains (a master that is itself hanging) are assumed absent
+(the 2:1 CONNECT_FULL balance guarantees it; mesh.py).
 """
 
 from __future__ import annotations
@@ -54,6 +59,12 @@ class HaloArrays(NamedTuple):
     loc2glob: jax.Array        # (D, n_loc) int32 — global vertex (or n_v)
     loc2pool: jax.Array        # (D, n_loc) int32 — pool slot (or B)
     is_ghost: jax.Array        # (D, n_loc) bool
+    # hanging-node stencils in LOCAL slot indices (padded rows point at
+    # the trash slot with zero weights)
+    hang_child: jax.Array      # (D, H) int32
+    hang_masters: jax.Array    # (D, H, 4) int32
+    hang_weights: jax.Array    # (D, H, 4) float64
+    hang_mask: jax.Array       # (D, n_loc) bool — slot is hanging
 
 
 @dataclass(frozen=True)
@@ -91,37 +102,65 @@ def build_halo_partition(mesh, lam, mu, n_shards: int,
                          dtype=jnp.float64) -> HaloPartition:
     """Host-side construction: contiguous Morton cell ranges (cells are
     already space-filling-curve sorted by the Forest), vertex ownership
-    by lowest touching shard, boundary pool = vertices seen by >1 shard.
-    """
-    if len(mesh.hang_child):
-        raise ValueError("halo partition requires a mesh without "
-                         "hanging nodes (use the replicated path)")
+    by lowest cell-touching shard, boundary pool = vertices seen by >1
+    shard.  On meshes with hanging nodes, each shard's vertex set is
+    extended with the masters of its locally-seen hanging vertices so
+    the Q1 constraint H / H^T is shard-local; "seen by" (for the pool)
+    uses the extended sets."""
     n_c, n_v, dim = mesh.n_cells, mesh.n_vertices, mesh.dim
     bounds = np.linspace(0, n_c, n_shards + 1).astype(np.int64)
     shard_of_cell = np.searchsorted(bounds[1:], np.arange(n_c), "right")
 
+    # vertex -> masters map for hanging vertices (assert no chains)
+    n_h = len(mesh.hang_child)
+    hang_of = np.full(n_v, -1, np.int64)
+    if n_h:
+        hang_of[mesh.hang_child] = np.arange(n_h)
+        if (hang_of[mesh.hang_masters.ravel()] >= 0).any():
+            raise ValueError("hanging-constraint chain (a master is "
+                             "itself hanging) — unsupported, like the "
+                             "flat path")
+
+    # per-shard extended vertex sets (cells' vertices + hang masters)
+    vert_sets = []
+    for s in range(n_shards):
+        cells_s = np.arange(bounds[s], bounds[s + 1])
+        verts_s = np.unique(mesh.cell2vert[cells_s])
+        if n_h:
+            h = hang_of[verts_s]
+            hm = mesh.hang_masters[h[h >= 0]]
+            verts_s = np.unique(np.concatenate([verts_s, hm.ravel()]))
+        vert_sets.append(verts_s)
+
+    # ownership by lowest CELL-touching shard; pool = seen by >1 shard
+    # under the extended sets
     smin = np.full(n_v, n_shards, np.int64)
-    smax = np.full(n_v, -1, np.int64)
     np.minimum.at(smin, mesh.cell2vert.ravel(),
                   np.repeat(shard_of_cell, mesh.cell2vert.shape[1]))
-    np.maximum.at(smax, mesh.cell2vert.ravel(),
-                  np.repeat(shard_of_cell, mesh.cell2vert.shape[1]))
     owner = smin
-    pool_vert = np.nonzero(smax > smin)[0]
+    seen = np.zeros(n_v, np.int64)
+    for verts_s in vert_sets:
+        seen[verts_s] += 1
+    pool_vert = np.nonzero(seen > 1)[0]
     B = len(pool_vert)
     pool_slot = np.full(n_v, B, np.int64)
     pool_slot[pool_vert] = np.arange(B)
 
     shards = []
-    C_max = V_max = 0
+    C_max = V_max = H_max = 0
+    hang_mask_g = np.zeros(n_v, bool)
+    if n_h:
+        hang_mask_g[mesh.hang_child] = True
     for s in range(n_shards):
         cells_s = np.arange(bounds[s], bounds[s + 1])
-        verts_s = np.unique(mesh.cell2vert[cells_s])
+        verts_s = vert_sets[s]
         own = verts_s[owner[verts_s] == s]
         ghost = verts_s[owner[verts_s] != s]
-        shards.append((cells_s, own, ghost))
+        hloc = np.nonzero(hang_mask_g[verts_s])[0]
+        shards.append((cells_s, own, ghost, verts_s[hloc]))
         C_max = max(C_max, len(cells_s))
         V_max = max(V_max, len(own) + len(ghost))
+        H_max = max(H_max, len(hloc))
     n_loc = V_max + 1          # + trash slot (padded cells point here)
 
     ca_parts = []
@@ -129,7 +168,11 @@ def build_halo_partition(mesh, lam, mu, n_shards: int,
     loc2glob = np.full((n_shards, n_loc), n_v, np.int32)
     loc2pool = np.full((n_shards, n_loc), B, np.int32)
     is_ghost = np.zeros((n_shards, n_loc), bool)
-    for s, (cells_s, own, ghost) in enumerate(shards):
+    hang_mask_l = np.zeros((n_shards, n_loc), bool)
+    h_child = np.full((n_shards, H_max), n_loc - 1, np.int32)
+    h_masters = np.full((n_shards, H_max, 4), n_loc - 1, np.int32)
+    h_weights = np.zeros((n_shards, H_max, 4))
+    for s, (cells_s, own, ghost, hverts) in enumerate(shards):
         g2l = np.full(n_v + 1, n_loc - 1, np.int64)   # default: trash
         g2l[own] = np.arange(len(own))
         g2l[ghost] = len(own) + np.arange(len(ghost))
@@ -138,6 +181,12 @@ def build_halo_partition(mesh, lam, mu, n_shards: int,
         loc2glob[s, : len(lv)] = lv
         loc2pool[s, : len(lv)] = pool_slot[lv]
         is_ghost[s, len(own): len(lv)] = True
+        hang_mask_l[s, g2l[hverts]] = True
+        if len(hverts):
+            hidx = hang_of[hverts]
+            h_child[s, : len(hverts)] = g2l[hverts]
+            h_masters[s, : len(hverts)] = g2l[mesh.hang_masters[hidx]]
+            h_weights[s, : len(hverts)] = mesh.hang_weights[hidx]
         parts = _local_cell_arrays(mesh, lam, mu, cells_s, g2l)
         pad = C_max - len(cells_s)
         if pad:
@@ -160,7 +209,11 @@ def build_halo_partition(mesh, lam, mu, n_shards: int,
     arrays = HaloArrays(
         ca=ca, own_mask_p=jnp.asarray(own_mask),
         loc2glob=jnp.asarray(loc2glob), loc2pool=jnp.asarray(loc2pool),
-        is_ghost=jnp.asarray(is_ghost))
+        is_ghost=jnp.asarray(is_ghost),
+        hang_child=jnp.asarray(h_child),
+        hang_masters=jnp.asarray(h_masters),
+        hang_weights=jnp.asarray(h_weights),
+        hang_mask=jnp.asarray(hang_mask_l))
     return HaloPartition(arrays=arrays, n_loc=n_loc, n_pool=B,
                          n_shards=n_shards, dim=dim, n_vertices=n_v)
 
@@ -171,7 +224,9 @@ def halo_specs() -> HaloArrays:
         gather_u=P(AXIS), gather_p=P(AXIS), JxW=P(AXIS), grads=P(AXIS),
         shape_v=P(), lam=P(AXIS), mu=P(AXIS), inv_diam2=P(AXIS))
     return HaloArrays(ca=ca_spec, own_mask_p=P(AXIS), loc2glob=P(AXIS),
-                      loc2pool=P(AXIS), is_ghost=P(AXIS))
+                      loc2pool=P(AXIS), is_ghost=P(AXIS),
+                      hang_child=P(AXIS), hang_masters=P(AXIS),
+                      hang_weights=P(AXIS), hang_mask=P(AXIS))
 
 
 def device_put_partition(part: HaloPartition, mesh: Mesh) -> HaloPartition:
