@@ -115,6 +115,95 @@ def stencil_matvec(jacL, X, *, k: int, ty: int = 128, tx: int = 128,
                                     tx=tx, interpret=interpret)
 
 
+# ---------------------------------------------------------------------------
+# multi-chip (GSPMD) variant: shard_map manual partitioning
+# ---------------------------------------------------------------------------
+#
+# A tpu_custom_call does not partition under GSPMD, so the multi-chip
+# lattice solve historically fell back to the XLA slice matvec
+# (PERFORMANCE.md).  The standard fix is shard_map manual partitioning
+# with explicit halo exchange: DoF vectors are row-slab sharded along
+# the leading grid axis (solvers/lattice_newton.py), and the stencil
+# reach is ONE vertex row, so
+#  * the jac is laid out per shard ONCE per Newton solve with the
+#    neighbouring shard's last cell row attached (pad_jac_sharded —
+#    one ppermute at prepare time), and
+#  * each matvec exchanges a single (k, 1, GX) vertex row in each
+#    direction (two ppermutes over ICI) before one per-shard kernel
+#    call; every owned output row is then complete locally — no
+#    combine step.
+# Local padded row pl maps to global cell row r0-1+pl (jac) / vertex
+# row r0-1+pl (X) where r0 is the shard's first owned row; row 0 is
+# the halo (zero on the boundary shards — ppermute's non-circular
+# permutation delivers zeros).
+
+def pad_jac_sharded(jacB, *, mesh, axis: str, gyp: int,
+                    ty: int = 128, tx: int = 128):
+    """Per-shard halo'd `pad_jac` layout of one jac block, built once
+    per Newton solve.  jacB (kl, kl, GCY, GCX) f32, row-slab sharded;
+    returns the shard_map-stacked (kl, kl, D*(nty*ty+8), ntx*tx+128)
+    carrier consumed by `stencil_matvec_sharded`."""
+    kl = jacB.shape[0]
+    GCY, GCX = jacB.shape[2], jacB.shape[3]
+    D = mesh.shape[axis]
+    rows_loc = gyp // D
+    nty = -(-rows_loc // ty)
+    ntx = -(-(GCX + 1) // tx)
+    jp = jnp.zeros((kl, kl, gyp, GCX), jnp.float32)
+    jp = jp.at[:, :, :GCY].set(jacB.astype(jnp.float32))
+    from jax.sharding import PartitionSpec as P
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=P(None, None, axis, None),
+             out_specs=P(None, None, axis, None))
+    def build(jl):
+        halo = jax.lax.ppermute(jl[:, :, -1:], axis,
+                                [(i, i + 1) for i in range(D - 1)])
+        out = jnp.zeros((kl, kl, nty * ty + 8, ntx * tx + 128),
+                        jnp.float32)
+        out = out.at[:, :, 0:1, 1: 1 + GCX].set(halo)
+        out = out.at[:, :, 1: 1 + rows_loc, 1: 1 + GCX].set(jl)
+        return out
+
+    return build(jp)
+
+
+def stencil_matvec_sharded(JPs, X, *, k: int, GY: int, GX: int, mesh,
+                           axis: str, gyp: int, ty: int = 128,
+                           tx: int = 128, interpret: bool = False):
+    """Y = A X on a row-slab sharded lattice via the Pallas kernel under
+    shard_map.  X (k, GY, GX) f32 (any row sharding — constrained to the
+    slab layout by the pad); JPs from `pad_jac_sharded`."""
+    D = mesh.shape[axis]
+    rows_loc = gyp // D
+    nty = -(-rows_loc // ty)
+    ntx = -(-GX // tx)
+    Xp = jnp.zeros((k, gyp, GX), jnp.float32).at[:, :GY].set(X)
+    from jax.sharding import PartitionSpec as P
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(None, None, axis, None), P(None, axis, None)),
+             out_specs=P(None, axis, None),
+             # pallas_call's out_shape carries no varying-mesh-axes
+             # annotation; the kernel output is per-shard by
+             # construction
+             check_vma=False)
+    def run(jp, xl):
+        up = jax.lax.ppermute(xl[:, -1:], axis,
+                              [(i, i + 1) for i in range(D - 1)])
+        dn = jax.lax.ppermute(xl[:, :1], axis,
+                              [(i + 1, i) for i in range(D - 1)])
+        XP = jnp.zeros((k, nty * ty + 8, ntx * tx + 128), jnp.float32)
+        XP = XP.at[:, 0:1, 1: 1 + GX].set(up)
+        XP = XP.at[:, 1: 1 + rows_loc, 1: 1 + GX].set(xl)
+        XP = XP.at[:, 1 + rows_loc: 2 + rows_loc, 1: 1 + GX].set(dn)
+        out = _call_kernel(jp, XP, k=k, ty=ty, tx=tx, nty=nty, ntx=ntx,
+                           interpret=interpret)
+        return out[:, :rows_loc, :GX]
+
+    return run(JPs, Xp)[:, :GY]
+
+
 def _call_kernel(JP, XP, *, k, ty, tx, nty, ntx, interpret):
     kl = 4 * k
     out = pl.pallas_call(

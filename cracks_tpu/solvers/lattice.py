@@ -1064,10 +1064,12 @@ def _pass_setup(fin_free, vert_pos, r_g, rtol, target2, *, grid, which,
 
 
 @partial(jax.jit, static_argnames=("grid", "which", "dim", "degree",
-                                   "inner_max", "stall_window", "seam"))
+                                   "inner_max", "stall_window", "seam",
+                                   "pmesh", "gyp", "pallas_interpret"))
 def _cg_pass32(levels, coarse32, fine_pad, R0, tol2, *, grid, which,
                dim, degree=2, inner_max=192, stall_window=16,
-               seam: Seam | None = None):
+               seam: Seam | None = None, pmesh=None, gyp=None,
+               pallas_interpret=False):
     """One float32 lattice-GMG CG pass on the normalized lattice
     residual; returns (best iterate, inner iterations, best rr), f32.
 
@@ -1086,7 +1088,21 @@ def _cg_pass32(levels, coarse32, fine_pad, R0, tol2, *, grid, which,
     k, lo, hi = _blk(which, dim)
     levels = list(levels)
     fin = levels[-1]
-    if fine_pad is not None:
+    if fine_pad is not None and pmesh is not None:
+        # multi-chip: the kernel under shard_map manual partitioning
+        # (explicit one-row halo exchange; seam lattices excluded by
+        # the caller)
+        from ..ops import pallas_stencil as ps
+        GY, GX = grid
+        ax = pmesh.axis_names[0]
+
+        def fine_op(X):
+            X = jnp.where(fin.free, X, 0.0)
+            Y = ps.stencil_matvec_sharded(
+                fine_pad, X, k=k, GY=GY, GX=GX, mesh=pmesh, axis=ax,
+                gyp=gyp, interpret=pallas_interpret)
+            return jnp.where(fin.free, Y, 0.0)
+    elif fine_pad is not None:
         from ..ops import pallas_stencil as ps
         GY, GX = grid
 
@@ -1707,13 +1723,17 @@ def _prepare64_lat(U, P, P_old, P_oold, caL64, sc, *, grid, dim,
 
 
 @partial(jax.jit, static_argnames=("grid", "which", "dim", "sharp",
-                                   "seam"))
+                                   "seam", "pmesh", "gyp"))
 def _prepare_levels_lat(jacs, dir_u, dir_p, active_pad, *, grid,
                         which: str, dim: int, sharp: bool = False,
-                        seam: Seam | None = None):
+                        seam: Seam | None = None, pmesh=None, gyp=None):
     """Per-block level operator data from a (padded) lattice-layout
-    active mask (sharded-DoF variant of _prepare_levels; no Pallas —
-    the custom call does not partition under GSPMD)."""
+    active mask (sharded-DoF variant of _prepare_levels).  With pmesh
+    given, the finest jac block is additionally laid out in the
+    shard_map Pallas kernel's per-shard halo'd format
+    (ops/pallas_stencil.pad_jac_sharded) — a raw tpu_custom_call does
+    not partition under GSPMD, so the multi-chip kernel runs under
+    shard_map manual partitioning instead."""
     k, lo, hi = _blk(which, dim)
     active_L = _unpad_rows(active_pad, grid[0])
     levels = _build_block_levels(list(jacs), dir_u, dir_p, grid,
@@ -1722,7 +1742,13 @@ def _prepare_levels_lat(jacs, dir_u, dir_p, active_pad, *, grid,
     (cho_c, _lower), scale = _coarse_dense_factor(
         levels[0], lo, hi, k, seam_levels(seam, len(levels))[0])
     coarse32 = (cho_c.astype(jnp.float32), scale.astype(jnp.float32))
-    return tuple(levels), coarse32
+    fine_pad = None
+    if pmesh is not None:
+        from ..ops import pallas_stencil as ps
+        fine_pad = ps.pad_jac_sharded(
+            jacs[-1][lo:hi, lo:hi], mesh=pmesh,
+            axis=pmesh.axis_names[0], gyp=gyp)
+    return tuple(levels), coarse32, fine_pad
 
 
 @partial(jax.jit, static_argnames=("grid", "which", "dim"))
@@ -1835,6 +1861,26 @@ def _solve_split_lat(sys, hier: LatticeHierarchy, U, P, P_old, P_oold,
     total_its = 0
     last_ju_pu = [None]
 
+    # Pallas stencil matvec under GSPMD: shard_map manual partitioning
+    # with explicit one-row halo exchange (ops/pallas_stencil.
+    # stencil_matvec_sharded) keeps the measured single-chip traffic
+    # win on multi-chip 2d lattices.  Seam lattices keep the XLA form
+    # (the seam conjugation is a global matmul, not slab-local);
+    # CRACKS_TPU_PALLAS=0 opts out.  CPU runs use the interpret-mode
+    # kernel only when CRACKS_TPU_PALLAS_INTERPRET=1 (parity tests).
+    on_cpu = jax.default_backend() == "cpu"
+    pallas_mesh = None
+    pallas_interp = False
+    if (os.environ.get("CRACKS_TPU_PALLAS", "1") == "1"
+            and sys.dim == 2 and hier.seam is None
+            and sys._device_mesh is not None
+            and len(sys._device_mesh.axis_names) == 1
+            and (not on_cpu
+                 or os.environ.get("CRACKS_TPU_PALLAS_INTERPRET")
+                 == "1")):
+        pallas_mesh = sys._device_mesh
+        pallas_interp = on_cpu
+
     def block(which, B):
         nonlocal total_its
         bnorm = float(jnp.sqrt(jnp.sum(B * B)))   # pad rows are zero
@@ -1845,15 +1891,17 @@ def _solve_split_lat(sys, hier: LatticeHierarchy, U, P, P_old, P_oold,
             return jnp.zeros_like(B)
         lv_cache = getattr(sys, "_split_levels_cache_lat", None)
         if which == "u" and lv_cache is not None and lv_cache[0] is jacs:
-            levels, coarse32 = lv_cache[1]
+            levels, coarse32, fine_pad = lv_cache[1]
         else:
             from .multigrid import sharp_spectrum
-            levels, coarse32 = _prepare_levels_lat(
+            levels, coarse32, fine_pad = _prepare_levels_lat(
                 jacs, hier.dir_u, hier.dir_p, active, grid=grid,
                 which=which, dim=sys.dim,
-                sharp=sharp_spectrum(sys.mesh.n_dofs), seam=hier.seam)
+                sharp=sharp_spectrum(sys.mesh.n_dofs), seam=hier.seam,
+                pmesh=pallas_mesh, gyp=gyp if pallas_mesh else None)
             if which == "u":
-                sys._split_levels_cache_lat = (jacs, (levels, coarse32))
+                sys._split_levels_cache_lat = (
+                    jacs, (levels, coarse32, fine_pad))
         fin_free = levels[-1].free
         target2_d = jnp.asarray(target2)
         X_acc = jnp.zeros_like(B)
@@ -1870,10 +1918,13 @@ def _solve_split_lat(sys, hier: LatticeHierarchy, U, P, P_old, P_oold,
             R0, scale_d, tol2, _rr0 = setup
             inner_max = 192 if sys.mesh.n_dofs <= 600_000 else 96
             degree = int(os.environ.get("CRACKS_TPU_CHEB_DEGREE", "2"))
-            Xb, k_d, _rrb = _cg_pass32(levels, coarse32, None, R0, tol2,
-                                       grid=grid, which=which,
+            Xb, k_d, _rrb = _cg_pass32(levels, coarse32, fine_pad, R0,
+                                       tol2, grid=grid, which=which,
                                        dim=sys.dim, inner_max=inner_max,
-                                       degree=degree, seam=hier.seam)
+                                       degree=degree, seam=hier.seam,
+                                       pmesh=pallas_mesh,
+                                       gyp=gyp if pallas_mesh else None,
+                                       pallas_interpret=pallas_interp)
             X_try, R_try, rr_try_d, JP_d = _pass_apply_mat_lat(
                 Xb, scale_d, X_acc, B, jacL64, free_u_fin, free_p_fin,
                 grid=grid, which=which, dim=sys.dim, gyp=gyp, ns=ns,

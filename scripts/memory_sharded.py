@@ -41,6 +41,7 @@ def per_device_live_bytes():
     n_arrays = 0
     repl_bytes = 0    # bytes/device sitting in fully-replicated arrays
     shard_bytes = 0   # bytes/device (max) sitting in sharded arrays
+    repl_items = []   # itemization of the replicated term
     for arr in jax.live_arrays():
         try:
             shards = arr.addressable_shards
@@ -53,9 +54,12 @@ def per_device_live_bytes():
             per_arr[s.device.id] += s.data.nbytes
         if arr.sharding.is_fully_replicated:
             repl_bytes += arr.nbytes
+            repl_items.append((arr.nbytes, str(arr.shape),
+                               str(arr.dtype)))
         elif per_arr:
             shard_bytes += max(per_arr.values())
-    return by_dev, n_arrays, repl_bytes, shard_bytes
+    repl_items.sort(reverse=True)
+    return by_dev, n_arrays, repl_bytes, shard_bytes, repl_items
 
 
 def run_mode(dof_sharding, refine):
@@ -76,7 +80,8 @@ def run_mode(dof_sharding, refine):
     sim = Simulation(p, verbose=False)
     sim.run()
     n_dofs = sim.mesh.n_dofs
-    by_dev, n_arrays, repl_b, shard_b = per_device_live_bytes()
+    by_dev, n_arrays, repl_b, shard_b, repl_items = \
+        per_device_live_bytes()
     bulk = float(sim.statistics.data["Bulk Energy"][-1])
     del sim
     gc.collect()
@@ -86,7 +91,10 @@ def run_mode(dof_sharding, refine):
                 max_device_bytes=max(by_dev.values()),
                 total_bytes=sum(by_dev.values()),
                 replicated_bytes_per_device=repl_b,
-                sharded_bytes_per_device_max=shard_b)
+                sharded_bytes_per_device_max=shard_b,
+                replicated_top10=[
+                    dict(bytes=b, shape=s, dtype=d)
+                    for b, s, d in repl_items[:10]])
 
 
 def main():
@@ -100,8 +108,10 @@ def main():
               file=sys.stderr)
     out["max_device_ratio"] = (out["lattice"]["max_device_bytes"]
                                / out["replicated"]["max_device_bytes"])
+    name = ("memory_sharded.json" if refine == 4
+            else f"memory_sharded_refine{refine}.json")
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "memory_sharded.json")
+                        name)
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps({"max_device_ratio":

@@ -151,6 +151,28 @@ def test_np8_lattice_sharded_state_is_sharded():
 
 
 @pytest.mark.slow
+def test_np8_sharded_pallas_parity(monkeypatch):
+    """The shard_map Pallas fine matvec (explicit halo exchange,
+    ops/pallas_stencil.stencil_matvec_sharded) through the FULL
+    production sharded solve: np8 + interpret-mode kernel == np8 with
+    the XLA slice matvec (VERDICT r4 #4 — multi-chip runs used to lose
+    the kernel because a raw tpu_custom_call does not partition under
+    GSPMD)."""
+    monkeypatch.setenv("CRACKS_TPU_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("CRACKS_TPU_PALLAS", "1")
+    sim_pl = _run(_sneddon_params(n_devices=8, dof_sharding="lattice"))
+    assert sim_pl.sys.use_lattice_state
+    monkeypatch.setenv("CRACKS_TPU_PALLAS", "0")
+    sim_xla = _run(_sneddon_params(n_devices=8, dof_sharding="lattice"))
+    for col in ("Bulk Energy", "Crack Energy", "TCV"):
+        if col not in sim_xla.statistics.data:
+            continue
+        a = np.asarray(sim_xla.statistics.data[col], dtype=float)
+        b = np.asarray(sim_pl.statistics.data[col], dtype=float)
+        assert np.allclose(a, b, rtol=1e-8, atol=1e-6), (col, a, b)
+
+
+@pytest.mark.slow
 def test_np1_np8_parity_lattice_sharded_seam():
     """Seam-glued slit lattice (miehe_shear, unit_slit mesh) through
     the sharded-DoF path: np1 replicated == np8 lattice-sharded on the

@@ -23,3 +23,30 @@ def test_stencil_matvec_matches_xla(k, lo, hi):
                              interpret=True)
     np.testing.assert_allclose(np.asarray(y_pl), np.asarray(y_ref),
                                rtol=1e-5, atol=1e-4)
+
+
+@pytest.mark.parametrize("k,lo,hi", [(2, 0, 8), (1, 8, 12)])
+def test_stencil_matvec_sharded_matches_xla(k, lo, hi):
+    """The shard_map (GSPMD) kernel wrapper: per-shard halo'd jac
+    layout + one-row ppermute halo exchange must reproduce the XLA
+    slice matvec on an 8-way row-slab sharded lattice — including the
+    row-pad (gyp > GY) and shard-boundary rows."""
+    from cracks_tpu.parallel.sharding import make_device_mesh
+
+    rng = np.random.default_rng(1)
+    GY, GX = 43, 37            # gyp = 48: pad rows cross shards
+    mesh = make_device_mesh(8)
+    ax = mesh.axis_names[0]
+    D = 8
+    gyp = -(-GY // D) * D
+    jacL = jnp.asarray(rng.normal(size=(12, 12, GY - 1, GX - 1)),
+                       jnp.float32)
+    X = jnp.asarray(rng.normal(size=(k, GY, GX)), jnp.float32)
+    y_ref = lat.matvec(jacL, X, lo, hi, k)
+    JPs = ps.pad_jac_sharded(jacL[lo:hi, lo:hi], mesh=mesh, axis=ax,
+                             gyp=gyp, ty=16, tx=16)
+    y_pl = ps.stencil_matvec_sharded(JPs, X, k=k, GY=GY, GX=GX,
+                                     mesh=mesh, axis=ax, gyp=gyp,
+                                     ty=16, tx=16, interpret=True)
+    np.testing.assert_allclose(np.asarray(y_pl), np.asarray(y_ref),
+                               rtol=1e-5, atol=1e-4)
