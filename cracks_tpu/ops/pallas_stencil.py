@@ -204,6 +204,145 @@ def stencil_matvec_sharded(JPs, X, *, k: int, GY: int, GX: int, mesh,
     return run(JPs, Xp)[:, :GY]
 
 
+# ---------------------------------------------------------------------------
+# 3d variant
+# ---------------------------------------------------------------------------
+#
+# Same stencil contract one dimension up: for vertex (d, vz, vy, vx)
+#
+#   Y[d,vz,vy,vx] = sum_{a,b,e} J[a*k+d, b*k+e, vz-oz_a, vy-oy_a, vx-ox_a]
+#                               * X[e, (vz,vy,vx) - o_a + o_b]
+#
+# with 8 corners (lattice._offsets(3) order: o_a = ((a>>2)&1, (a>>1)&1,
+# a&1)).  The VMEM budget changes the schedule: the 2d kernel holds the
+# whole (4k, 4k) J tile resident (8.9 MB at k=2), but the 3d u-block is
+# (24, 24) — 9x the planes — so the J tile is streamed PER CORNER PAIR
+# (a, b) as 64 double-buffered (k, k, TZ+1, TY+8, TX+128) async copies
+# (~1.3 MB each at the default tile) overlapped with the VPU
+# accumulation of the previous pair.  J is still read exactly once and
+# no intermediate touches HBM.
+#
+# Layout contract: J (8k, 8k, GCZ, GCY, GCX) f32, corner-major local
+# dofs; X, Y (k, GZ, GY, GX) with G* = GC*+1.
+
+_OFFS3 = [(0, 0, 0), (0, 0, 1), (0, 1, 0), (0, 1, 1),
+          (1, 0, 0), (1, 0, 1), (1, 1, 0), (1, 1, 1)]
+
+
+def _kernel3d(j_hbm, x_hbm, y_ref, jt0, jt1, xt, sem_j0, sem_j1, sem_x,
+              *, k, TZ_, TY_, TX_):
+    iz = jnp.asarray(pl.program_id(0), jnp.int32)
+    iy = jnp.asarray(pl.program_id(1), jnp.int32)
+    ix = jnp.asarray(pl.program_id(2), jnp.int32)
+    TZ, TY, TX = TZ_, TY_, TX_
+    cp_x = pltpu.make_async_copy(
+        x_hbm.at[:, pl.ds(iz * TZ, TZ + 2), pl.ds(iy * TY, TY + 8),
+                 pl.ds(ix * TX, TX + 128)],
+        xt, sem_x)
+    cp_x.start()
+    pairs = [(a, b) for a in range(8) for b in range(8)]
+    bufs, sems = (jt0, jt1), (sem_j0, sem_j1)
+
+    def cp_j(p):
+        a, b = pairs[p]
+        return pltpu.make_async_copy(
+            j_hbm.at[a * k:(a + 1) * k, b * k:(b + 1) * k,
+                     pl.ds(iz * TZ, TZ + 1), pl.ds(iy * TY, TY + 8),
+                     pl.ds(ix * TX, TX + 128)],
+            bufs[p % 2], sems[p % 2])
+
+    cp_j(0).start()
+    cp_x.wait()
+    acc = [jnp.zeros((TZ, TY, TX), jnp.float32) for _ in range(k)]
+    for p, (a, b) in enumerate(pairs):
+        cp_j(p).wait()
+        if p + 1 < len(pairs):
+            # prefetch the next pair into the other buffer while this
+            # pair's 9 (k^2) fused multiply-adds run on the VPU
+            cp_j(p + 1).start()
+        jt = bufs[p % 2]
+        oza, oya, oxa = _OFFS3[a]
+        ozb, oyb, oxb = _OFFS3[b]
+        jz0, jy0, jx0 = 1 - oza, 1 - oya, 1 - oxa
+        xz0, xy0, xx0 = jz0 + ozb, jy0 + oyb, jx0 + oxb
+        for d in range(k):
+            for e in range(k):
+                J = jt[d, e, jz0: jz0 + TZ, jy0: jy0 + TY,
+                       jx0: jx0 + TX]
+                Xv = xt[e, xz0: xz0 + TZ, xy0: xy0 + TY,
+                        xx0: xx0 + TX]
+                acc[d] = acc[d] + J * Xv
+    for d in range(k):
+        y_ref[d] = acc[d]
+
+
+def pad_jac3d(jacL, *, tz: int = 8, ty: int = 8, tx: int = 128):
+    """One-off padded jac layout for `stencil_matvec3d_prepadded`:
+    1-ring zero pad grown to the tile grid + the (8, 128) alignment
+    margin on the minor dims (z is untiled — +1 halo row only)."""
+    kl = jacL.shape[0]
+    GCZ, GCY, GCX = jacL.shape[2], jacL.shape[3], jacL.shape[4]
+    ntz = -(-(GCZ + 1) // tz)
+    nty = -(-(GCY + 1) // ty)
+    ntx = -(-(GCX + 1) // tx)
+    JP = jnp.zeros((kl, kl, ntz * tz + 1, nty * ty + 8,
+                    ntx * tx + 128), jnp.float32)
+    return JP.at[:, :, 1: 1 + GCZ, 1: 1 + GCY, 1: 1 + GCX].set(jacL)
+
+
+@partial(jax.jit, static_argnames=("k", "GZ", "GY", "GX", "tz", "ty",
+                                   "tx", "interpret"))
+def stencil_matvec3d_prepadded(JP, X, *, k: int, GZ: int, GY: int,
+                               GX: int, tz: int = 8, ty: int = 8,
+                               tx: int = 128, interpret: bool = False):
+    """Y = A X with the jac already in `pad_jac3d` layout."""
+    ntz = -(-GZ // tz)
+    nty = -(-GY // ty)
+    ntx = -(-GX // tx)
+    XP = jnp.zeros((k, ntz * tz + 2, nty * ty + 8, ntx * tx + 128),
+                   jnp.float32)
+    XP = XP.at[:, 1: 1 + GZ, 1: 1 + GY, 1: 1 + GX].set(X)
+    out = pl.pallas_call(
+        partial(_kernel3d, k=k, TZ_=tz, TY_=ty, TX_=tx),
+        grid=(ntz, nty, ntx),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=pl.BlockSpec((k, tz, ty, tx),
+                               lambda i, j, l: (0, i, j, l),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((k, ntz * tz, nty * ty,
+                                        ntx * tx), jnp.float32),
+        interpret=interpret,
+        scratch_shapes=[
+            pltpu.VMEM((k, k, tz + 1, ty + 8, tx + 128), jnp.float32),
+            pltpu.VMEM((k, k, tz + 1, ty + 8, tx + 128), jnp.float32),
+            pltpu.VMEM((k, tz + 2, ty + 8, tx + 128), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )(JP, XP)
+    return out[:, :GZ, :GY, :GX]
+
+
+@partial(jax.jit, static_argnames=("k", "tz", "ty", "tx", "interpret"))
+def stencil_matvec3d(jacL, X, *, k: int, tz: int = 8, ty: int = 8,
+                     tx: int = 128, interpret: bool = False):
+    """Y = A X on the 3d lattice via the fused Pallas stencil kernel.
+
+    jacL (8k, 8k, GCZ, GCY, GCX) f32; X (k, GZ, GY, GX) f32."""
+    kl = 8 * k
+    kk, GZ, GY, GX = X.shape
+    assert kk == k and jacL.shape[:2] == (kl, kl)
+    assert jacL.shape[2:] == (GZ - 1, GY - 1, GX - 1)
+    JP = pad_jac3d(jacL, tz=tz, ty=ty, tx=tx)
+    return stencil_matvec3d_prepadded(JP, X, k=k, GZ=GZ, GY=GY, GX=GX,
+                                      tz=tz, ty=ty, tx=tx,
+                                      interpret=interpret)
+
+
 def _call_kernel(JP, XP, *, k, ty, tx, nty, ntx, interpret):
     kl = 4 * k
     out = pl.pallas_call(

@@ -1017,7 +1017,10 @@ def _prepare_levels(jacs, dir_u, dir_p, vert_pos, active, *, grid,
     fine_pad = None
     if pallas:
         from ..ops import pallas_stencil as ps
-        fine_pad = ps.pad_jac(jacs[-1][lo:hi, lo:hi])
+        if dim == 3:
+            fine_pad = ps.pad_jac3d(jacs[-1][lo:hi, lo:hi])
+        else:
+            fine_pad = ps.pad_jac(jacs[-1][lo:hi, lo:hi])
     return tuple(levels), coarse32, fine_pad
 
 
@@ -1102,6 +1105,17 @@ def _cg_pass32(levels, coarse32, fine_pad, R0, tol2, *, grid, which,
                 fine_pad, X, k=k, GY=GY, GX=GX, mesh=pmesh, axis=ax,
                 gyp=gyp, interpret=pallas_interpret)
             return jnp.where(fin.free, Y, 0.0)
+    elif fine_pad is not None and dim == 3:
+        from ..ops import pallas_stencil as ps
+        GZ, GY, GX = grid
+
+        def fine_op(X):
+            # seam lattices are 2d-only; no conjugation here
+            X = jnp.where(fin.free, X, 0.0)
+            Y = ps.stencil_matvec3d_prepadded(
+                fine_pad, X, k=k, GZ=GZ, GY=GY, GX=GX,
+                interpret=pallas_interpret)
+            return jnp.where(fin.free, Y, 0.0)
     elif fine_pad is not None:
         from ..ops import pallas_stencil as ps
         GY, GX = grid
@@ -1109,7 +1123,8 @@ def _cg_pass32(levels, coarse32, fine_pad, R0, tol2, *, grid, which,
         def fine_op(X):
             X = seam_spread(jnp.where(fin.free, X, 0.0), seam)
             Y = ps.stencil_matvec_prepadded(fine_pad, X, k=k, GY=GY,
-                                            GX=GX)
+                                            GX=GX,
+                                            interpret=pallas_interpret)
             return jnp.where(fin.free, seam_collect(Y, seam), 0.0)
     else:
         fine_op = _masked_mv(fin, lo, hi, k, seam)
@@ -1312,13 +1327,20 @@ def _solve_split(sys, hier: LatticeHierarchy, u, phi, phi_old, phi_oold,
     total_its = 0
     last_ju_pu = [None]   # J_pu du of the final accepted u iterate
 
-    # Pallas stencil matvec (2d lattices): default ON (validated in
-    # tests/test_pallas_stencil.py and by the golden suite through this
-    # path; ~2.3x traffic advantage over the XLA slice formulation).
-    # CRACKS_TPU_PALLAS=0 opts out; CPU backends always use XLA slices.
+    # Pallas stencil matvec (2d and 3d lattices): default ON (validated
+    # in tests/test_pallas_stencil.py and by the golden suite through
+    # this path; ~2.3x traffic advantage over the XLA slice formulation
+    # in 2d — the 3d kernel streams the jac per corner pair, see
+    # ops/pallas_stencil._kernel3d).  CRACKS_TPU_PALLAS=0 opts out; CPU
+    # backends use XLA slices unless CRACKS_TPU_PALLAS_INTERPRET=1
+    # (parity tests).
+    on_cpu = jax.default_backend() == "cpu"
     use_pallas = (os.environ.get("CRACKS_TPU_PALLAS", "1") == "1"
-                  and sys.dim == 2
-                  and jax.default_backend() != "cpu")
+                  and sys.dim in (2, 3)
+                  and (not on_cpu
+                       or os.environ.get("CRACKS_TPU_PALLAS_INTERPRET")
+                       == "1"))
+    pallas_interp = use_pallas and on_cpu
 
     def block(which, b):
         nonlocal total_its
@@ -1384,7 +1406,8 @@ def _solve_split(sys, hier: LatticeHierarchy, u, phi, phi_old, phi_oold,
             Xb, k_d, _rrb = _cg_pass32(levels, coarse32, fine_pad, R0,
                                        tol2, grid=grid, which=which,
                                        dim=sys.dim, inner_max=inner_max,
-                                       degree=degree, seam=seam)
+                                       degree=degree, seam=seam,
+                                       pallas_interpret=pallas_interp)
             x_try, r_try, rr_try_d, jp_d = _pass_apply_mat(
                 Xb, scale_d, hier.vert_pos, x_acc, b, jacL64,
                 hier.dir_u[-1], hier.dir_p[-1], active, grid=grid,

@@ -224,3 +224,29 @@ def test_np8_lattice_sharded_3d():
     a = np.asarray(sim1.statistics.data["Crack Energy"], dtype=float)
     b = np.asarray(sim8.statistics.data["Crack Energy"], dtype=float)
     assert np.allclose(a, b, rtol=1e-8)
+
+
+@pytest.mark.slow
+def test_sneddon3d_pallas_e2e_parity(monkeypatch):
+    """The 3d Pallas stencil kernel (streamed corner-pair schedule,
+    ops/pallas_stencil._kernel3d) through the FULL production
+    single-chip split solve: interpret-mode kernel == XLA slice matvec
+    on a small 3d Sneddon step (VERDICT r4 #4 — 3d runs used to fall
+    back to the XLA form unconditionally)."""
+    import os
+    monkeypatch.setattr(lattice, "FUSED_SOLVE_MAX_DOFS", 0)
+    monkeypatch.setenv("CRACKS_TPU_SNEDDON_REPS", "5")
+    monkeypatch.setenv("CRACKS_TPU_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("CRACKS_TPU_PALLAS", "1")
+    p = _sneddon_params(dimension=3, n_global_pre_refine=1,
+                        max_no_timesteps=0)
+    sim_pl = _run(p)
+    assert sim_pl.sys.lattice_hierarchy is not None
+    monkeypatch.setenv("CRACKS_TPU_PALLAS", "0")
+    sim_xla = _run(p)
+    for col in ("Bulk Energy", "Crack Energy", "TCV"):
+        if col not in sim_xla.statistics.data:
+            continue
+        a = np.asarray(sim_xla.statistics.data[col], dtype=float)
+        b = np.asarray(sim_pl.statistics.data[col], dtype=float)
+        assert np.allclose(a, b, rtol=1e-8, atol=1e-6), (col, a, b)

@@ -50,3 +50,19 @@ def test_stencil_matvec_sharded_matches_xla(k, lo, hi):
                                      ty=16, tx=16, interpret=True)
     np.testing.assert_allclose(np.asarray(y_pl), np.asarray(y_ref),
                                rtol=1e-5, atol=1e-4)
+
+
+@pytest.mark.parametrize("k,lo,hi", [(3, 0, 24), (1, 24, 32)])
+def test_stencil_matvec3d_matches_xla(k, lo, hi):
+    """3d kernel (streamed corner-pair schedule) vs the XLA slice
+    matvec, non-tile-aligned grid."""
+    rng = np.random.default_rng(2)
+    GZ, GY, GX = 11, 13, 19
+    jacL = jnp.asarray(
+        rng.normal(size=(32, 32, GZ - 1, GY - 1, GX - 1)), jnp.float32)
+    X = jnp.asarray(rng.normal(size=(k, GZ, GY, GX)), jnp.float32)
+    y_ref = lat.matvec(jacL, X, lo, hi, k)
+    y_pl = ps.stencil_matvec3d(jacL[lo:hi, lo:hi], X, k=k, tz=4, ty=8,
+                               tx=16, interpret=True)
+    np.testing.assert_allclose(np.asarray(y_pl), np.asarray(y_ref),
+                               rtol=1e-5, atol=1e-4)

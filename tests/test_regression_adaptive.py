@@ -72,9 +72,13 @@ def test_miehe_shear_1_gmg_iterations(tmp_path):
 
     The reference runs GMRES + block-diag ML AMG at 4-17 linear its per
     Newton solve on every mesh (BASELINE.md:15,18; cracks.cc:2477-2497).
-    Bound: <= 51 CG its per Newton solve, averaged per step.  Parity:
-    the statistics prefix must still match the golden table (the
-    hierarchy spans two refinement epochs, 891 -> 984 DoFs)."""
+    Bound: <= 36 CG its per Newton solve, averaged per step (measured
+    max 32.0 across the 7 steps with the golden-size pinned Gershgorin
+    window, 2026-08-20; the production sharp-window regime is bounded
+    at <= 20 by test_spectrum.py::
+    test_sharp_window_production_self_parity_77k).  Parity: the
+    statistics prefix must still match the golden table (the hierarchy
+    spans two refinement epochs, 891 -> 984 DoFs)."""
     sim, _ = run_prm(f"{PRM_DIR}/miehe_shear_1.prm", output_dir=str(tmp_path),
                      max_no_timesteps=7, linear_solver="cg",
                      preconditioner="gmg")
@@ -82,7 +86,7 @@ def test_miehe_shear_1_gmg_iterations(tmp_path):
     assert sim.sys.galerkin_hierarchy is not None  # GMG actually engaged
     for step, newton_its, lin_its in sim.solver_effort:
         assert newton_its > 0
-        assert lin_its / newton_its <= 51, (step, newton_its, lin_its)
+        assert lin_its / newton_its <= 36, (step, newton_its, lin_its)
 
 
 def test_miehe_tension_adaptive_prefix(tmp_path):
