@@ -302,7 +302,13 @@ def stencil_matvec3d_prepadded(JP, X, *, k: int, GZ: int, GY: int,
     XP = jnp.zeros((k, ntz * tz + 2, nty * ty + 8, ntx * tx + 128),
                    jnp.float32)
     XP = XP.at[:, 1: 1 + GZ, 1: 1 + GY, 1: 1 + GX].set(X)
-    out = pl.pallas_call(
+    out = _call_kernel3d(JP, XP, k=k, tz=tz, ty=ty, tx=tx, ntz=ntz,
+                         nty=nty, ntx=ntx, interpret=interpret)
+    return out[:, :GZ, :GY, :GX]
+
+
+def _call_kernel3d(JP, XP, *, k, tz, ty, tx, ntz, nty, ntx, interpret):
+    return pl.pallas_call(
         partial(_kernel3d, k=k, TZ_=tz, TY_=ty, TX_=tx),
         grid=(ntz, nty, ntx),
         in_specs=[
@@ -324,7 +330,78 @@ def stencil_matvec3d_prepadded(JP, X, *, k: int, GZ: int, GY: int,
             pltpu.SemaphoreType.DMA(()),
         ],
     )(JP, XP)
-    return out[:, :GZ, :GY, :GX]
+
+
+def pad_jac3d_sharded(jacB, *, mesh, axis: str, gzp: int, tz: int = 8,
+                      ty: int = 8, tx: int = 128):
+    """Per-shard halo'd `pad_jac3d` layout of one 3d jac block (z-slab
+    sharded along the leading grid axis), built once per Newton solve:
+    each shard attaches the neighbouring shard's last cell z-plane
+    (one ppermute), so every owned output plane is complete locally."""
+    kl = jacB.shape[0]
+    GCZ, GCY, GCX = jacB.shape[2], jacB.shape[3], jacB.shape[4]
+    D = mesh.shape[axis]
+    z_loc = gzp // D
+    ntz = -(-z_loc // tz)
+    nty = -(-(GCY + 1) // ty)
+    ntx = -(-(GCX + 1) // tx)
+    jp = jnp.zeros((kl, kl, gzp, GCY, GCX), jnp.float32)
+    jp = jp.at[:, :, :GCZ].set(jacB.astype(jnp.float32))
+    from jax.sharding import PartitionSpec as P
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=P(None, None, axis, None, None),
+             out_specs=P(None, None, axis, None, None))
+    def build(jl):
+        halo = jax.lax.ppermute(jl[:, :, -1:], axis,
+                                [(i, i + 1) for i in range(D - 1)])
+        out = jnp.zeros((kl, kl, ntz * tz + 1, nty * ty + 8,
+                         ntx * tx + 128), jnp.float32)
+        out = out.at[:, :, 0:1, 1: 1 + GCY, 1: 1 + GCX].set(halo)
+        out = out.at[:, :, 1: 1 + z_loc, 1: 1 + GCY,
+                     1: 1 + GCX].set(jl)
+        return out
+
+    return build(jp)
+
+
+def stencil_matvec3d_sharded(JPs, X, *, k: int, GZ: int, GY: int,
+                             GX: int, mesh, axis: str, gzp: int,
+                             tz: int = 8, ty: int = 8, tx: int = 128,
+                             interpret: bool = False):
+    """Y = A X on a z-slab sharded 3d lattice via the Pallas kernel
+    under shard_map: one (k, 1, GY, GX) vertex plane exchanged in each
+    direction (two ppermutes over ICI) per matvec, then one per-shard
+    kernel call; JPs from `pad_jac3d_sharded`."""
+    D = mesh.shape[axis]
+    z_loc = gzp // D
+    ntz = -(-z_loc // tz)
+    nty = -(-GY // ty)
+    ntx = -(-GX // tx)
+    Xp = jnp.zeros((k, gzp, GY, GX), jnp.float32).at[:, :GZ].set(X)
+    from jax.sharding import PartitionSpec as P
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(None, None, axis, None, None),
+                       P(None, axis, None, None)),
+             out_specs=P(None, axis, None, None),
+             check_vma=False)
+    def run(jp, xl):
+        up = jax.lax.ppermute(xl[:, -1:], axis,
+                              [(i, i + 1) for i in range(D - 1)])
+        dn = jax.lax.ppermute(xl[:, :1], axis,
+                              [(i + 1, i) for i in range(D - 1)])
+        XP = jnp.zeros((k, ntz * tz + 2, nty * ty + 8, ntx * tx + 128),
+                       jnp.float32)
+        XP = XP.at[:, 0:1, 1: 1 + GY, 1: 1 + GX].set(up)
+        XP = XP.at[:, 1: 1 + z_loc, 1: 1 + GY, 1: 1 + GX].set(xl)
+        XP = XP.at[:, 1 + z_loc: 2 + z_loc, 1: 1 + GY,
+                   1: 1 + GX].set(dn)
+        out = _call_kernel3d(jp, XP, k=k, tz=tz, ty=ty, tx=tx, ntz=ntz,
+                             nty=nty, ntx=ntx, interpret=interpret)
+        return out[:, :z_loc, :GY, :GX]
+
+    return run(JPs, Xp)[:, :GZ]
 
 
 @partial(jax.jit, static_argnames=("k", "tz", "ty", "tx", "interpret"))

@@ -1093,18 +1093,28 @@ def _cg_pass32(levels, coarse32, fine_pad, R0, tol2, *, grid, which,
     fin = levels[-1]
     if fine_pad is not None and pmesh is not None:
         # multi-chip: the kernel under shard_map manual partitioning
-        # (explicit one-row halo exchange; seam lattices excluded by
-        # the caller)
+        # (explicit one-row/plane halo exchange; seam lattices excluded
+        # by the caller)
         from ..ops import pallas_stencil as ps
-        GY, GX = grid
         ax = pmesh.axis_names[0]
+        if dim == 3:
+            GZ, GY, GX = grid
 
-        def fine_op(X):
-            X = jnp.where(fin.free, X, 0.0)
-            Y = ps.stencil_matvec_sharded(
-                fine_pad, X, k=k, GY=GY, GX=GX, mesh=pmesh, axis=ax,
-                gyp=gyp, interpret=pallas_interpret)
-            return jnp.where(fin.free, Y, 0.0)
+            def fine_op(X):
+                X = jnp.where(fin.free, X, 0.0)
+                Y = ps.stencil_matvec3d_sharded(
+                    fine_pad, X, k=k, GZ=GZ, GY=GY, GX=GX, mesh=pmesh,
+                    axis=ax, gzp=gyp, interpret=pallas_interpret)
+                return jnp.where(fin.free, Y, 0.0)
+        else:
+            GY, GX = grid
+
+            def fine_op(X):
+                X = jnp.where(fin.free, X, 0.0)
+                Y = ps.stencil_matvec_sharded(
+                    fine_pad, X, k=k, GY=GY, GX=GX, mesh=pmesh, axis=ax,
+                    gyp=gyp, interpret=pallas_interpret)
+                return jnp.where(fin.free, Y, 0.0)
     elif fine_pad is not None and dim == 3:
         from ..ops import pallas_stencil as ps
         GZ, GY, GX = grid
@@ -1770,7 +1780,10 @@ def _prepare_levels_lat(jacs, dir_u, dir_p, active_pad, *, grid,
         from ..ops import pallas_stencil as ps
         fine_pad = ps.pad_jac_sharded(
             jacs[-1][lo:hi, lo:hi], mesh=pmesh,
-            axis=pmesh.axis_names[0], gyp=gyp)
+            axis=pmesh.axis_names[0], gyp=gyp
+        ) if dim == 2 else ps.pad_jac3d_sharded(
+            jacs[-1][lo:hi, lo:hi], mesh=pmesh,
+            axis=pmesh.axis_names[0], gzp=gyp)
     return tuple(levels), coarse32, fine_pad
 
 
@@ -1885,17 +1898,18 @@ def _solve_split_lat(sys, hier: LatticeHierarchy, U, P, P_old, P_oold,
     last_ju_pu = [None]
 
     # Pallas stencil matvec under GSPMD: shard_map manual partitioning
-    # with explicit one-row halo exchange (ops/pallas_stencil.
-    # stencil_matvec_sharded) keeps the measured single-chip traffic
-    # win on multi-chip 2d lattices.  Seam lattices keep the XLA form
-    # (the seam conjugation is a global matmul, not slab-local);
-    # CRACKS_TPU_PALLAS=0 opts out.  CPU runs use the interpret-mode
-    # kernel only when CRACKS_TPU_PALLAS_INTERPRET=1 (parity tests).
+    # with explicit one-row (2d) / one-plane (3d) halo exchange
+    # (ops/pallas_stencil.stencil_matvec_sharded / _3d_sharded) keeps
+    # the measured single-chip traffic win on multi-chip lattices.
+    # Seam lattices keep the XLA form (the seam conjugation is a
+    # global matmul, not slab-local); CRACKS_TPU_PALLAS=0 opts out.
+    # CPU runs use the interpret-mode kernel only when
+    # CRACKS_TPU_PALLAS_INTERPRET=1 (parity tests).
     on_cpu = jax.default_backend() == "cpu"
     pallas_mesh = None
     pallas_interp = False
     if (os.environ.get("CRACKS_TPU_PALLAS", "1") == "1"
-            and sys.dim == 2 and hier.seam is None
+            and sys.dim in (2, 3) and hier.seam is None
             and sys._device_mesh is not None
             and len(sys._device_mesh.axis_names) == 1
             and (not on_cpu

@@ -250,3 +250,27 @@ def test_sneddon3d_pallas_e2e_parity(monkeypatch):
         a = np.asarray(sim_xla.statistics.data[col], dtype=float)
         b = np.asarray(sim_pl.statistics.data[col], dtype=float)
         assert np.allclose(a, b, rtol=1e-8, atol=1e-6), (col, a, b)
+
+
+@pytest.mark.slow
+def test_np8_sharded_pallas_3d_parity(monkeypatch):
+    """The shard_map 3d Pallas fine matvec (one-plane halo exchange,
+    ops/pallas_stencil.stencil_matvec3d_sharded) through the FULL
+    production sharded solve on a 3d octree lattice: np8 +
+    interpret-mode kernel == np8 with the XLA slice matvec."""
+    monkeypatch.setenv("CRACKS_TPU_SNEDDON_REPS", "5")
+    monkeypatch.setenv("CRACKS_TPU_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("CRACKS_TPU_PALLAS", "1")
+    p = _sneddon_params(dimension=3, n_global_pre_refine=1,
+                        n_devices=8, dof_sharding="lattice",
+                        max_no_timesteps=0)
+    sim_pl = _run(p)
+    assert sim_pl.sys.use_lattice_state
+    monkeypatch.setenv("CRACKS_TPU_PALLAS", "0")
+    sim_xla = _run(p)
+    for col in ("Bulk Energy", "Crack Energy", "TCV"):
+        if col not in sim_xla.statistics.data:
+            continue
+        a = np.asarray(sim_xla.statistics.data[col], dtype=float)
+        b = np.asarray(sim_pl.statistics.data[col], dtype=float)
+        assert np.allclose(a, b, rtol=1e-8, atol=1e-6), (col, a, b)

@@ -66,3 +66,31 @@ def test_stencil_matvec3d_matches_xla(k, lo, hi):
                                tx=16, interpret=True)
     np.testing.assert_allclose(np.asarray(y_pl), np.asarray(y_ref),
                                rtol=1e-5, atol=1e-4)
+
+
+@pytest.mark.parametrize("k,lo,hi", [(3, 0, 24), (1, 24, 32)])
+def test_stencil_matvec3d_sharded_matches_xla(k, lo, hi):
+    """The shard_map 3d kernel wrapper: per-shard halo'd jac layout +
+    one-plane ppermute halo exchange must reproduce the XLA slice
+    matvec on an 8-way z-slab sharded lattice, including the z-pad
+    (gzp > GZ) and shard-boundary planes."""
+    from cracks_tpu.parallel.sharding import make_device_mesh
+
+    rng = np.random.default_rng(3)
+    GZ, GY, GX = 11, 13, 19       # gzp = 16: pad planes cross shards
+    mesh = make_device_mesh(8)
+    ax = mesh.axis_names[0]
+    D = 8
+    gzp = -(-GZ // D) * D
+    jacL = jnp.asarray(
+        rng.normal(size=(32, 32, GZ - 1, GY - 1, GX - 1)), jnp.float32)
+    X = jnp.asarray(rng.normal(size=(k, GZ, GY, GX)), jnp.float32)
+    y_ref = lat.matvec(jacL, X, lo, hi, k)
+    JPs = ps.pad_jac3d_sharded(jacL[lo:hi, lo:hi], mesh=mesh, axis=ax,
+                               gzp=gzp, tz=2, ty=8, tx=16)
+    y_pl = ps.stencil_matvec3d_sharded(JPs, X, k=k, GZ=GZ, GY=GY,
+                                       GX=GX, mesh=mesh, axis=ax,
+                                       gzp=gzp, tz=2, ty=8, tx=16,
+                                       interpret=True)
+    np.testing.assert_allclose(np.asarray(y_pl), np.asarray(y_ref),
+                               rtol=1e-5, atol=1e-4)
