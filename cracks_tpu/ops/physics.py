@@ -338,7 +338,7 @@ def _derive_cell_arrays(core: CellCore, perm, *, dtype, spec, permute):
     chunked = None
     if spec is not None:
         n_chunks, ch = spec
-        n_c = core.JxW.shape[0]
+        n_c = perm.shape[0] if permute else core.JxW.shape[0]
         pad = n_chunks * ch - n_c
         fills = dict(gather_u=0, gather_p=0, JxW=0.0, grads=0.0,
                      lam=1.0, mu=1.0, inv_diam2=1.0)
@@ -359,7 +359,9 @@ def cell_arrays_from_core(core: CellCore, dtype=jnp.float64,
                           perm: np.ndarray | None = None) -> CellArrays:
     """Device CellArrays (optionally cell-permuted, e.g. into lattice
     raster order) derived from a CellCore."""
-    n_c = int(core.JxW.shape[0])
+    # the permutation may pad the raster (seam lattices add a phantom
+    # row, solvers/lattice.py) — chunk the PERMUTED cell count
+    n_c = int(len(perm) if perm is not None else core.JxW.shape[0])
     spec = chunk_spec(n_c) if chunk else None
     permute = perm is not None
     perm_d = (jnp.asarray(perm, jnp.int32) if permute

@@ -156,3 +156,42 @@ def test_chunked_cell_sweep_equals_unchunked(monkeypatch):
                                rtol=0, atol=1e-13)
     np.testing.assert_allclose(np.asarray(j_chk), np.asarray(j_ref),
                                rtol=1e-12, atol=1e-12)
+
+
+def test_perm_padded_chunking(monkeypatch):
+    """cell_arrays_from_core with a raster perm LONGER than the core
+    cell count (seam lattices pad a phantom row, solvers/lattice.py)
+    must chunk by the permuted count.  Regression: at miehe refine 8
+    the phantom row pushed the raster past a chunk boundary computed
+    from the unpadded count -> reshape error (BENCH miehe_shear r5)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from cracks_tpu import meshio, problems
+    from cracks_tpu.config import Parameters
+    from cracks_tpu.mesh import Forest
+    from cracks_tpu.ops import physics
+
+    f = Forest(meshio.rect_mesh([0, 0], [1, 1]))
+    f.refine_global(3)                       # 64 cells
+    mesh = f.extract()
+    p = Parameters(test_case="sneddon", pressure_expr="1.0e-3",
+                   G_c=1.0, poisson_ratio_nu=0.2, E_modulus=1.0)
+    lam, mu = problems.cell_lame_fields(p, mesh, None)
+    core = physics.build_cell_core(mesh, lam, mu)
+    n_c = int(core.JxW.shape[0])
+    # phantom row of 8 dead cells; CELL_CHUNK=64 so the padded raster
+    # (72) needs 2 chunks while the unpadded count (64) needs none
+    perm = np.concatenate([np.arange(n_c), np.full(8, -1)]).astype(
+        np.int32)
+    monkeypatch.setattr(physics, "CELL_CHUNK", 64)
+    ca = physics.cell_arrays_from_core(core, perm=perm)
+    assert ca.chunked is not None
+    nch, ch = ca.chunked.JxW.shape[0], ca.chunked.JxW.shape[-1]
+    assert nch * ch >= n_c + 8
+    # chunk-major JxW must reproduce the permuted cell-last JxW (dead
+    # cells zeroed), with zero fill in the padding tail
+    jxw = np.moveaxis(np.asarray(ca.chunked.JxW), -1, 1).reshape(
+        nch * ch, -1)
+    ref = np.asarray(core.JxW)
+    np.testing.assert_allclose(jxw[:n_c], ref, rtol=0, atol=0)
+    np.testing.assert_allclose(jxw[n_c:], 0.0, rtol=0, atol=0)
