@@ -1013,6 +1013,13 @@ def solve_split(sys, hier: GalerkinHierarchy, u, phi, phi_old, phi_oold,
     kw = dict(dim=sys.dim, with_split=with_split,
               monolithic=sys.monolithic)
     debug = os.environ.get("CRACKS_TPU_DEBUG_SOLVE") == "1"
+    import time as _wt
+    _tsplit = _wt.perf_counter()
+
+    def _mark(label):
+        if debug:
+            print(f"#     [@{label}: "
+                  f"{_wt.perf_counter() - _tsplit:6.2f}s]", flush=True)
 
     # f32 operator reuse across PDAS tail iterations (same staleness
     # contract as lattice._solve_split: inexact-Newton delta <= 1e-6)
@@ -1040,18 +1047,22 @@ def solve_split(sys, hier: GalerkinHierarchy, u, phi, phi_old, phi_oold,
                          sys.scalars, **kw)
         sys._split_jac_cache_g = ((u, phi, phi_old, phi_oold, sc_vec),
                                   (with_split, sys.monolithic), jac32)
+    _mark("jac32-ready")
     level_ops = _build_ops(hier.levels, hier.P_embed, jac32, sys.ca,
                            active, con, dim=sys.dim)
     if os.environ.get("CRACKS_TPU_SYNC", "1") == "1":
         # join the stream after the heavy operator build: deep async
         # dispatch queues wedge the tunnel (see newton.py _tick)
         jax.block_until_ready(level_ops)
+    _mark("level-ops-ready")
     total_its = 0
     last_jp = [None]
 
     def block(which, b):
         nonlocal total_its
+        _mark(f"enter-{which}")
         bnorm = float(jnp.sqrt(jnp.vdot(b, b).real))
+        _mark(f"bnorm-{which}")
         atol_newton = 1e-3 * p.lower_bound_newton_residual
         target2 = max(rtol * bnorm, atol_newton,
                       100.0 * eps64 * bnorm) ** 2
@@ -1065,10 +1076,16 @@ def solve_split(sys, hier: GalerkinHierarchy, u, phi, phi_old, phi_oold,
         for _ in range(passes):
             if rr_cur <= target2:
                 break
+            _t0 = _wt.perf_counter() if debug else 0.0
             if setup is None:
                 setup = _g_pass_setup(level_ops, r_cur, rtol, target2_d,
                                       dim=sys.dim, which=which)
             R0, scale_d, tol2, _rr0 = setup
+            if debug:
+                jax.block_until_ready(R0)
+                _t1 = _wt.perf_counter()
+            else:
+                _t1 = 0.0
             # Bound the single-dispatch execution hard: a Galerkin CG
             # iteration (gather matvec + gather V-cycle) costs several
             # times a lattice iteration, and the shared TPU worker
@@ -1084,6 +1101,11 @@ def solve_split(sys, hier: GalerkinHierarchy, u, phi, phi_old, phi_oold,
                                          dim=sys.dim, which=which,
                                          inner_max=inner_max,
                                          degree=degree)
+            if debug:
+                jax.block_until_ready(Xb)
+                _t2 = _wt.perf_counter()
+            else:
+                _t2 = 0.0
             x_try, r_try, rr_try_d, jp_d = _g_pass_apply(
                 u, phi, phi_old, phi_oold, sys.ca, sys.scalars, con,
                 active, Xb, scale_d, x_acc, b, dim=sys.dim,
@@ -1093,10 +1115,13 @@ def solve_split(sys, hier: GalerkinHierarchy, u, phi, phi_old, phi_oold,
             total_its += int(k_h)
             rr_try = float(rr_try)
             if debug:
+                _t3 = _wt.perf_counter()
                 print(f"#   {which}-pass(g): its={int(k_h)} "
                       f"rrb32={float(_rrb):.3e} "
                       f"rr {rr_cur:.6e} -> {rr_try:.6e} "
-                      f"(target {target2:.3e})", flush=True)
+                      f"(target {target2:.3e}) "
+                      f"[setup {_t1 - _t0:.2f}s cg {_t2 - _t1:.2f}s "
+                      f"apply {_t3 - _t2:.2f}s]", flush=True)
             if not np.isfinite(rr_try) or rr_try >= rr_cur:
                 break
             progress = rr_try / max(rr_cur, 1e-300)
@@ -1115,6 +1140,8 @@ def solve_split(sys, hier: GalerkinHierarchy, u, phi, phi_old, phi_oold,
         return x_acc
 
     du = block("u", rhs_u)
+    _mark("u-done")
     rhs_p2 = rhs_p if last_jp[0] is None else rhs_p - last_jp[0]
     dp = block("p", rhs_p2)
+    _mark("p-done")
     return du, dp, total_its

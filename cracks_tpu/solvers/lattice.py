@@ -1301,8 +1301,16 @@ def _solve_split(sys, hier: LatticeHierarchy, u, phi, phi_old, phi_oold,
     # exact, so delta = 1e-6 is far below the line-search acceptance
     # granularity.  (Same idea as the reference's monolithic-variant
     # Jacobian reuse, cracks.cc:3007 nonlinear_rho.)
+    _tsplit = _wt.perf_counter()
+
+    def _mark(label):
+        if debug:
+            print(f"#     [@{label}: "
+                  f"{_wt.perf_counter() - _tsplit:6.2f}s]", flush=True)
+
     cache = getattr(sys, "_split_jac_cache", None)
     sc_vec = _scalars_vec(sys.scalars)
+    _mark("scvec")
     jacs = jacL64 = None
     if cache is not None:
         key0, flags0, jacs_c, jacL64_c = cache
@@ -1324,16 +1332,22 @@ def _solve_split(sys, hier: LatticeHierarchy, u, phi, phi_old, phi_oold,
         # the jacs tuple identity and pins it, so drop it too)
         sys._split_jac_cache = cache = None
         sys._split_levels_cache = None
-        jacs = _tick("prepare32", _prepare(
+        _mark("caches-dropped")
+        _p32 = _prepare(
             u, phi, phi_old, phi_oold, sys.lattice_ca32, sys.scalars,
             hier.P_embed, grid=grid, n_levels=hier.n_levels, seam=seam,
-            **kw))
-        jacL64 = _tick("prepare64", _prepare64(
+            **kw)
+        _mark("p32-dispatched")
+        jacs = _tick("prepare32", _p32)
+        _p64 = _prepare64(
             u, phi, phi_old, phi_oold, sys.lattice_ca64, sys.scalars,
-            grid=grid, **kw))
+            grid=grid, **kw)
+        _mark("p64-dispatched")
+        jacL64 = _tick("prepare64", _p64)
         sys._split_jac_cache = ((u, phi, phi_old, phi_oold, sc_vec),
                                 (with_split, sys.monolithic),
                                 jacs, jacL64)
+    _mark("jacs-ready")
     total_its = 0
     last_ju_pu = [None]   # J_pu du of the final accepted u iterate
 
@@ -1354,7 +1368,9 @@ def _solve_split(sys, hier: LatticeHierarchy, u, phi, phi_old, phi_oold,
 
     def block(which, b):
         nonlocal total_its
+        _mark(f"enter-{which}")
         bnorm = float(jnp.sqrt(jnp.vdot(b, b).real))
+        _mark(f"bnorm-{which}")
         # Absolute floor: the Newton iteration only needs the linear
         # residual to be invisible at its own convergence bound
         # (lower_bound_newton_residual, an absolute norm the reference
@@ -1380,10 +1396,15 @@ def _solve_split(sys, hier: LatticeHierarchy, u, phi, phi_old, phi_oold,
             levels, coarse32, fine_pad = lv_cache[2]
         else:
             from .multigrid import sharp_spectrum
+            _t0 = _wt.perf_counter() if debug else 0.0
             levels, coarse32, fine_pad = _prepare_levels(
                 jacs, hier.dir_u, hier.dir_p, hier.vert_pos, active,
                 grid=grid, which=which, dim=sys.dim, pallas=use_pallas,
                 sharp=sharp_spectrum(sys.mesh.n_dofs), seam=seam)
+            if debug:
+                jax.block_until_ready(levels[-1].Dinv)
+                print(f"#     [levels/{which}: "
+                      f"{_wt.perf_counter() - _t0:6.2f}s]", flush=True)
             if which == "u":
                 sys._split_levels_cache = (
                     jacs, use_pallas, (levels, coarse32, fine_pad))
@@ -1396,11 +1417,17 @@ def _solve_split(sys, hier: LatticeHierarchy, u, phi, phi_old, phi_oold,
         for _ in range(passes):
             if rr_cur <= target2:
                 break
+            _t0 = _wt.perf_counter() if debug else 0.0
             if setup is None:
                 setup = _pass_setup(fin_free, hier.vert_pos, r_cur,
                                     rtol, target2_d, grid=grid,
                                     which=which, dim=sys.dim)
             R0, scale_d, tol2, _rr0 = setup
+            if debug:
+                jax.block_until_ready(R0)
+                _t1 = _wt.perf_counter()
+            else:
+                _t1 = 0.0
             # bound the single-dispatch execution time: the shared TPU
             # worker crashes on ~10-20 s executions (PERFORMANCE.md),
             # and per-iteration cost scales with the lattice size
@@ -1418,6 +1445,11 @@ def _solve_split(sys, hier: LatticeHierarchy, u, phi, phi_old, phi_oold,
                                        dim=sys.dim, inner_max=inner_max,
                                        degree=degree, seam=seam,
                                        pallas_interpret=pallas_interp)
+            if debug:
+                jax.block_until_ready(Xb)
+                _t2 = _wt.perf_counter()
+            else:
+                _t2 = 0.0
             x_try, r_try, rr_try_d, jp_d = _pass_apply_mat(
                 Xb, scale_d, hier.vert_pos, x_acc, b, jacL64,
                 hier.dir_u[-1], hier.dir_p[-1], active, grid=grid,
@@ -1426,10 +1458,13 @@ def _solve_split(sys, hier: LatticeHierarchy, u, phi, phi_old, phi_oold,
             total_its += int(k_h)
             rr_try = float(rr_try)
             if debug:
+                _t3 = _wt.perf_counter()
                 print(f"#   {which}-pass: its={int(k_h)} "
                       f"rrb32={float(_rrb):.3e} "
                       f"rr {rr_cur:.6e} -> {rr_try:.6e} "
-                      f"(target {target2:.3e})", flush=True)
+                      f"(target {target2:.3e}) "
+                      f"[setup {_t1 - _t0:.2f}s cg {_t2 - _t1:.2f}s "
+                      f"apply {_t3 - _t2:.2f}s]", flush=True)
                 dump = os.environ.get("CRACKS_TPU_DUMP_FAIL")
                 if (dump and float(_rrb) >= 1.0
                         and not os.path.exists(dump)):
@@ -1471,12 +1506,14 @@ def _solve_split(sys, hier: LatticeHierarchy, u, phi, phi_old, phi_oold,
         return x_acc
 
     du = block("u", rhs_u)
+    _mark("u-done")
     if last_ju_pu[0] is None:
         # no accepted pass: du == 0, so J_pu du == 0
         rhs_p2 = rhs_p
     else:
         rhs_p2 = rhs_p - last_ju_pu[0]
     dp = block("p", rhs_p2)
+    _mark("p-done")
     return du, dp, total_its
 
 
