@@ -170,6 +170,35 @@ def face_tables(dim: int, n_gauss: int = 3) -> FaceTables:
 # Batched geometry (host/numpy; the jnp variants live in ops/geometry.py)
 # ---------------------------------------------------------------------------
 
+def affine_cell_jacobians(cell_coords: np.ndarray,
+                          tables: ElementTables):
+    """(detJ_c (n_c,), invJ_c (n_c, dim, dim)) when EVERY cell is
+    affine (constant Jacobian — all generated rect/cube meshes and
+    their refinements); None when any cell is non-affine (threepoint
+    trapezoids).  Host cost is O(n_c dim^2); the big (n_c, n_q, 2^dim,
+    dim) gradient tabulation can then run ON DEVICE
+    (physics.build_cell_core) so a mesh epoch uploads ~60x less data —
+    at 3d production sizes the grads array is ~0.5 GB and pushing it
+    through the TPU tunnel both dominated epoch setup and wedged the
+    shared worker."""
+    dim = tables.dim
+    X0 = cell_coords[:, 0, :]                       # (c, dim)
+    v = np.stack([cell_coords[:, 1 << d, :] - X0 for d in range(dim)],
+                 axis=-1)                           # (c, dim(d), dim(e))
+    # exact-affinity test: corner a must equal X0 + sum_d bit_d(a) v_d
+    # up to rounding of the corner arithmetic itself
+    recon = X0[:, None, :] + np.einsum(
+        "ae,cde->cad",
+        np.array([[(a >> d) & 1 for d in range(dim)]
+                  for a in range(2 ** dim)], dtype=np.float64), v)
+    scale = np.abs(v).max(axis=(1, 2), keepdims=True)   # (c,1,1)
+    affine = (np.abs(recon - cell_coords)
+              <= 1e-12 * scale).all(axis=(1, 2))        # (c,)
+    if not affine.all():
+        return None
+    return np.linalg.det(v), np.linalg.inv(v)
+
+
 def cell_geometry(cell_coords: np.ndarray, tables: ElementTables):
     """Per-cell, per-q-point geometry.
 
@@ -185,23 +214,9 @@ def cell_geometry(cell_coords: np.ndarray, tables: ElementTables):
     epoch's setup).  Mixed meshes (threepoint.msh trapezoids) take the
     generic per-q path for the non-affine cells.
     """
-    dim = tables.dim
-    X0 = cell_coords[:, 0, :]                       # (c, dim)
-    v = np.stack([cell_coords[:, 1 << d, :] - X0 for d in range(dim)],
-                 axis=-1)                           # (c, dim(d), dim(e))
-    # exact-affinity test: corner a must equal X0 + sum_d bit_d(a) v_d
-    # up to rounding of the corner arithmetic itself
-    recon = X0[:, None, :] + np.einsum(
-        "ae,cde->cad",
-        np.array([[(a >> d) & 1 for d in range(dim)]
-                  for a in range(2 ** dim)], dtype=np.float64), v)
-    scale = np.abs(v).max(axis=(1, 2), keepdims=True)   # (c,1,1)
-    affine = (np.abs(recon - cell_coords)
-              <= 1e-12 * scale).all(axis=(1, 2))        # (c,)
-
-    if affine.all():
-        detJ_c = np.linalg.det(v)
-        invJ_c = np.linalg.inv(v)
+    geo = affine_cell_jacobians(cell_coords, tables)
+    if geo is not None:
+        detJ_c, invJ_c = geo
         grads = np.einsum("qae,ced->cqad", tables.shape_g, invJ_c)
         JxW = detJ_c[:, None] * tables.q_weights[None, :]
         return JxW, grads

@@ -360,70 +360,101 @@ def _lambda_est(jac, gather, free, Dinv, lo, hi, hang=None,
     return jnp.where(ok, jnp.minimum(lam, ger), ger)
 
 
-def build_level_ops(hier: GalerkinHierarchy, jac_fine, ca_fine, active,
-                    con_f, *, dim: int, sharp: bool = False):
-    """Per-level operator data, coarsest..finest, for both blocks.
-    con_f is the finest mesh's Constraints bundle.  sharp selects the
-    spectral-window regime (multigrid.sharp_spectrum policy)."""
-    from .multigrid import smoothing_range
-    rng = jnp.asarray(smoothing_range(sharp), jac_fine.dtype)
+def _level_geom(levels, ca_fine, con_f, i, *, dim: int):
+    """(gather_u, gather_p, con, n_ud, n_p) of level i (i == len(levels)
+    is the finest mesh)."""
+    if i == len(levels):
+        n_ud = int(con_f.dirichlet_u.shape[0])
+        n_p = int(con_f.dirichlet_p.shape[0])
+        return ca_fine.gather_u, ca_fine.gather_p, con_f, n_ud, n_p
+    lvl = levels[i]
+    n_p = int(lvl.dirichlet_p.shape[0])
+    return lvl.gather_u, lvl.gather_p, lvl.con, n_p * dim, n_p
+
+
+def _level_blockdata(jacs, levels, ca_fine, con_f, active, which, *,
+                     dim: int, sharp: bool):
+    """(free, Dinv, lam) per level, coarsest..finest, for ONE block.
+    The u-block data is independent of the active set (free_u is the
+    Dirichlet/hanging mask only), which is what lets solve_split cache
+    it across the PDAS tail together with the RAP chain."""
     nvc = 2 ** dim
     nud_l = nvc * dim
+    lo, hi = (0, nud_l) if which == "u" else (nud_l, nud_l + nvc)
+    out = []
+    for i in range(len(levels) + 1):
+        jac = jacs[i]
+        gather_u, gather_p, con, n_ud, n_p = _level_geom(
+            levels, ca_fine, con_f, i, dim=dim)
+        if which == "u":
+            free = ~(con.dirichlet_u | con.hang_mask_u)
+            gather = gather_u
+        else:
+            act_l = (active if i == len(levels)
+                     else active[levels[i].inject_p])
+            free = ~(con.dirichlet_p | con.hang_mask_p | act_l)
+            gather = gather_p
+        hang = _hang_of(con, which)
+        du, dp = assembled.diagonals(
+            jac, _GatherView(gather_u, gather_p), n_ud, n_p, dim=dim)
+        d = du if which == "u" else dp
+        Dinv = jnp.where(free & (jnp.abs(d) > 0), 1.0 / d, 1.0)
+        lam = _lambda_est(jac, gather, free, Dinv, lo, hi, hang,
+                          sharp=sharp)
+        out.append((free, Dinv, lam))
+    return tuple(out)
+
+
+def build_level_ops(hier: GalerkinHierarchy, jac_fine, ca_fine, active,
+                    con_f, *, dim: int, sharp: bool = False,
+                    reuse=None):
+    """Per-level operator data, coarsest..finest, for both blocks.
+    con_f is the finest mesh's Constraints bundle.  sharp selects the
+    spectral-window regime (multigrid.sharp_spectrum policy).
+
+    Returns (level_ops, reuse_out) where reuse_out = (jacs, u_data) —
+    the RAP chain and the u-block masks/diagonals/spectra, both
+    independent of the active set.  Passing it back as `reuse` on a
+    later call with the SAME element matrices skips the coarsening and
+    the u-side Lanczos: only the p-block (whose free set carries the
+    active-set mask) is rebuilt.  This is the Galerkin analogue of the
+    lattice split-solve's u-levels cache (lattice._solve_split)."""
+    from .multigrid import smoothing_range
+    rng = jnp.asarray(smoothing_range(sharp), jac_fine.dtype)
     levels = hier.levels
-    # coarsen matrices top-down
-    jacs = [jac_fine]
-    for lvl in reversed(levels):
-        n_cc = int(lvl.gather_p.shape[1])
-        jacs.insert(0, coarsen_level(jacs[0], lvl, hier.P_embed, n_cc))
+    if reuse is None:
+        # coarsen matrices top-down
+        jacs = [jac_fine]
+        for lvl in reversed(levels):
+            n_cc = int(lvl.gather_p.shape[1])
+            jacs.insert(0, coarsen_level(jacs[0], lvl, hier.P_embed,
+                                         n_cc))
+        jacs = tuple(jacs)
+        u_data = _level_blockdata(jacs, levels, ca_fine, con_f, active,
+                                  "u", dim=dim, sharp=sharp)
+    else:
+        jacs, u_data = reuse
+    p_data = _level_blockdata(jacs, levels, ca_fine, con_f, active,
+                              "p", dim=dim, sharp=sharp)
 
     out = []
-    for i, lvl in enumerate(levels):
+    for i in range(len(levels) + 1):
+        fin = i == len(levels)
         jac = jacs[i]
-        n_p = int(lvl.dirichlet_p.shape[0])
-        n_ud = n_p * dim
-        act_l = active[lvl.inject_p]
-        hang_u = _hang_of(lvl.con, "u")
-        hang_p = _hang_of(lvl.con, "p")
-        free_u = ~(lvl.dirichlet_u | lvl.con.hang_mask_u)
-        free_p = ~(lvl.dirichlet_p | lvl.con.hang_mask_p | act_l)
-        du, dp = assembled.diagonals(jac, _GatherView(lvl.gather_u,
-                                                      lvl.gather_p),
-                                     n_ud, n_p, dim=dim)
-        Dinv_u = jnp.where(free_u & (jnp.abs(du) > 0), 1.0 / du, 1.0)
-        Dinv_p = jnp.where(free_p & (jnp.abs(dp) > 0), 1.0 / dp, 1.0)
-        lam_u = _lambda_est(jac, lvl.gather_u, free_u,
-                            Dinv_u, 0, nud_l, hang_u, sharp=sharp)
-        lam_p = _lambda_est(jac, lvl.gather_p, free_p,
-                            Dinv_p, nud_l, nud_l + nvc,
-                            hang_p, sharp=sharp)
-        out.append(_LevelOps(jac, lvl.gather_u, lvl.gather_p, free_u,
-                             free_p, Dinv_u, Dinv_p, lam_u, lam_p,
-                             lvl.up_masters_u,
-                             lvl.up_weights_u.astype(jac.dtype),
-                             lvl.up_masters_p,
-                             lvl.up_weights_p.astype(jac.dtype),
-                             hang_u, hang_p, rng))
-
-    # finest level
-    hang_u_f = _hang_of(con_f, "u")
-    hang_p_f = _hang_of(con_f, "p")
-    free_u_f = ~(con_f.dirichlet_u | con_f.hang_mask_u)
-    free_p_f = ~(con_f.dirichlet_p | con_f.hang_mask_p | active)
-    n_ud_f = int(con_f.dirichlet_u.shape[0])
-    n_p_f = int(con_f.dirichlet_p.shape[0])
-    du, dp = assembled.diagonals(jac_fine, ca_fine, n_ud_f, n_p_f, dim=dim)
-    Dinv_u = jnp.where(free_u_f & (jnp.abs(du) > 0), 1.0 / du, 1.0)
-    Dinv_p = jnp.where(free_p_f & (jnp.abs(dp) > 0), 1.0 / dp, 1.0)
-    lam_u = _lambda_est(jac_fine, ca_fine.gather_u, free_u_f,
-                        Dinv_u, 0, nud_l, hang_u_f, sharp=sharp)
-    lam_p = _lambda_est(jac_fine, ca_fine.gather_p, free_p_f,
-                        Dinv_p, nud_l, nud_l + nvc, hang_p_f,
-                        sharp=sharp)
-    out.append(_LevelOps(jac_fine, ca_fine.gather_u, ca_fine.gather_p,
-                         free_u_f, free_p_f, Dinv_u, Dinv_p, lam_u, lam_p,
-                         None, None, None, None, hang_u_f, hang_p_f,
-                         rng))
-    return tuple(out)
+        gather_u, gather_p, con, _n_ud, _n_p = _level_geom(
+            levels, ca_fine, con_f, i, dim=dim)
+        free_u, Dinv_u, lam_u = u_data[i]
+        free_p, Dinv_p, lam_p = p_data[i]
+        lvl = None if fin else levels[i]
+        out.append(_LevelOps(
+            jac, gather_u, gather_p, free_u, free_p, Dinv_u, Dinv_p,
+            lam_u, lam_p,
+            None if fin else lvl.up_masters_u,
+            None if fin else lvl.up_weights_u.astype(jac.dtype),
+            None if fin else lvl.up_masters_p,
+            None if fin else lvl.up_weights_p.astype(jac.dtype),
+            _hang_of(con, "u"), _hang_of(con, "p"), rng))
+    return tuple(out), (jacs, u_data)
 
 
 class _GatherView(NamedTuple):
@@ -538,10 +569,19 @@ def make_vcycle(level_ops: tuple, *, dim: int, which: str,
                                    "degree", "inner_max", "passes"))
 def solve_newton_system(u, phi, phi_old, phi_oold, ca64, sc, levels,
                         P_embed, con, active, rhs_u, rhs_p, rtol,
-                        *, dim: int, with_split: bool, monolithic: bool,
-                        degree: int = 2, inner_max: int = 64,
-                        passes: int = 3):
-    """Returns (du, dp, iters, rnorm2) on the free subspace.
+                        reuse=None, *, dim: int, with_split: bool,
+                        monolithic: bool, degree: int = 2,
+                        inner_max: int = 64, passes: int = 3):
+    """Returns (du, dp, iters, rnorm2, reuse_out) on the free subspace.
+
+    `reuse` (optional) is a previous call's reuse_out — the RAP chain
+    (incl. the fine f32 element matrices) and the u-block level data,
+    both active-set independent.  The f64 Newton operator is ALWAYS
+    linearized fresh at (u, phi) and drives the between-pass residuals,
+    so a reused (slightly stale, <= 1e-6 relative) f32 chain changes
+    only preconditioner quality, never the computed solution beyond
+    solver tolerance.  The caller gates reuse on the production-size
+    regime (newton._solve_assembled).
 
     Krylov iterations run ENTIRELY in float32 (stored element matrices +
     Galerkin V-cycle); float64 appears only in the exact residuals
@@ -553,16 +593,19 @@ def solve_newton_system(u, phi, phi_old, phi_oold, ca64, sc, levels,
     from ..ops.constraints import (condense_residual, expand_update)
 
     f32c = lambda x: x.astype(jnp.float32)
-    ca32 = physics.CellArrays(
-        gather_u=ca64.gather_u, gather_p=ca64.gather_p,
-        JxW=f32c(ca64.JxW), grads=f32c(ca64.grads),
-        shape_v=f32c(ca64.shape_v), lam=f32c(ca64.lam),
-        mu=f32c(ca64.mu), inv_diam2=f32c(ca64.inv_diam2))
-    sc32 = physics.Scalars(*(f32c(v) for v in sc))
-    jac32 = physics.element_matrices(
-        f32c(u), f32c(phi), f32c(phi_old), f32c(phi_oold), ca32, sc32,
-        dim=dim, with_split=with_split, monolithic=monolithic,
-        cell_last=True)
+    if reuse is None:
+        ca32 = physics.CellArrays(
+            gather_u=ca64.gather_u, gather_p=ca64.gather_p,
+            JxW=f32c(ca64.JxW), grads=f32c(ca64.grads),
+            shape_v=f32c(ca64.shape_v), lam=f32c(ca64.lam),
+            mu=f32c(ca64.mu), inv_diam2=f32c(ca64.inv_diam2))
+        sc32 = physics.Scalars(*(f32c(v) for v in sc))
+        jac32 = physics.element_matrices(
+            f32c(u), f32c(phi), f32c(phi_old), f32c(phi_oold), ca32,
+            sc32, dim=dim, with_split=with_split,
+            monolithic=monolithic, cell_last=True)
+    else:
+        jac32 = reuse[0][-1]   # fine level of the cached RAP chain
 
     # float64 Newton operator, matrix-free: linearize once at the
     # Newton point, apply per refinement pass (J = -d(rhs)/dx)
@@ -582,9 +625,10 @@ def solve_newton_system(u, phi, phi_old, phi_oold, ca64, sc, levels,
 
     hier = GalerkinHierarchy(levels=levels, P_embed=P_embed, dim=dim)
     from .multigrid import sharp_spectrum
-    level_ops = build_level_ops(
+    level_ops, reuse_out = build_level_ops(
         hier, jac32, ca64, active, con, dim=dim,
-        sharp=sharp_spectrum(int(active.shape[0]) * (dim + 1)))
+        sharp=sharp_spectrum(int(active.shape[0]) * (dim + 1)),
+        reuse=reuse)
     nvc = 2 ** dim
     nud_l = nvc * dim
     eps64 = float(jnp.finfo(jnp.float64).eps)
@@ -683,7 +727,7 @@ def solve_newton_system(u, phi, phi_old, phi_oold, ca64, sc, levels,
     du, it_u, rr_u = block_solve("u", rhs_u)
     rhs_p2 = rhs_p - op64_both(du, zero_p)[1]   # b_p - J_pu du, f64
     dp, it_p, rr_p = block_solve("p", rhs_p2)
-    return du, dp, it_u + it_p, rr_u + rr_p
+    return du, dp, it_u + it_p, rr_u + rr_p, reuse_out
 
 
 # ---------------------------------------------------------------------------
@@ -692,13 +736,14 @@ def solve_newton_system(u, phi, phi_old, phi_oold, ca64, sc, levels,
 
 @partial(jax.jit, static_argnames=("dim",))
 def _build_ops(levels, P_embed, jac_fine, ca_fine, active, con,
-               *, dim: int):
+               *, dim: int, reuse=None):
     from .multigrid import sharp_spectrum
     hier = GalerkinHierarchy(levels=levels, P_embed=P_embed, dim=dim)
     return build_level_ops(hier, jac_fine, ca_fine, active, con,
                            dim=dim,
                            sharp=sharp_spectrum(
-                               int(active.shape[0]) * (dim + 1)))
+                               int(active.shape[0]) * (dim + 1)),
+                           reuse=reuse)
 
 
 @partial(jax.jit, static_argnames=("dim", "which", "chunk", "degree",
@@ -776,8 +821,8 @@ def solve_cg_block(hier: GalerkinHierarchy, jac_fine, ca_fine, con,
     matrices (mixed-precision-preconditioner mode).
 
     Returns (du, dp, iters) on the FREE subspace."""
-    level_ops = _build_ops(hier.levels, hier.P_embed, jac_fine, ca_fine,
-                           active, con, dim=dim)
+    level_ops, _ = _build_ops(hier.levels, hier.P_embed, jac_fine,
+                              ca_fine, active, con, dim=dim)
     f64_op = jac64 is not None
     if not f64_op:
         jac64 = jac_fine
@@ -1042,14 +1087,26 @@ def solve_split(sys, hier: GalerkinHierarchy, u, phi, phi_old, phi_oold,
                       f" context moved {d:.1e}]", flush=True)
         del jac32_c
     if jac32 is None:
+        # drop the stale operator AND its level cache before building
+        # replacements (avoid double-buffering the RAP chain)
         sys._split_jac_cache_g = None
+        sys._split_levels_cache_g = None
         jac32 = _g_jac32(u, phi, phi_old, phi_oold, sys.ca,
                          sys.scalars, **kw)
         sys._split_jac_cache_g = ((u, phi, phi_old, phi_oold, sc_vec),
                                   (with_split, sys.monolithic), jac32)
     _mark("jac32-ready")
-    level_ops = _build_ops(hier.levels, hier.P_embed, jac32, sys.ca,
-                           active, con, dim=sys.dim)
+    # u-block level cache: the RAP chain + u-side masks/diagonals/
+    # Lanczos spectra depend only on jac32 (NOT the active set), so
+    # they ride the jac reuse across the PDAS tail; only the p-block
+    # data (active-set mask in free_p) is rebuilt per iteration.
+    lv_cache = getattr(sys, "_split_levels_cache_g", None)
+    reuse = (lv_cache[1] if lv_cache is not None
+             and lv_cache[0] is jac32 else None)
+    level_ops, reuse_out = _build_ops(hier.levels, hier.P_embed, jac32,
+                                      sys.ca, active, con, dim=sys.dim,
+                                      reuse=reuse)
+    sys._split_levels_cache_g = (jac32, reuse_out)
     if os.environ.get("CRACKS_TPU_SYNC", "1") == "1":
         # join the stream after the heavy operator build: deep async
         # dispatch queues wedge the tunnel (see newton.py _tick)

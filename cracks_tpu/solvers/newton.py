@@ -193,11 +193,44 @@ def _solve_assembled(sys, u, phi, phi_old, phi_oold, con, active,
         # restarted refinement passes (galerkin.solve_newton_system).
         # Dispatch latency through the TPU tunnel is ~100-300 ms, so
         # fusing the solve dominates everything else at small sizes.
-        du, dp, its, _rr = galerkin.solve_newton_system(
+        #
+        # Operator reuse across the PDAS tail (production sizes only,
+        # gated by the same sharp_spectrum policy that marks the
+        # production regime): the f32 RAP chain + u-block spectra are
+        # active-set independent, and the f64 operator is re-linearized
+        # fresh each call, so a <= 1e-6-stale chain changes only
+        # preconditioner quality, never the solution beyond tolerance.
+        # Golden-size solves keep reuse OFF so their digit-level
+        # statistics parity is untouched.
+        from .lattice import _iter_dist, _scalars_vec
+        from .multigrid import sharp_spectrum
+        reuse = None
+        sc_vec = None
+        cache_on = sharp_spectrum(sys.mesh.n_dofs)
+        if cache_on:
+            sc_vec = _scalars_vec(sys.scalars)
+            cache = getattr(sys, "_fused_cache_g", None)
+            if cache is not None:
+                key0, flags0, reuse_c = cache
+                if (flags0 == (with_split, sys.monolithic)
+                    and all(a.shape == b.shape for a, b in
+                            zip(key0, (u, phi, phi_old, phi_oold,
+                                       sc_vec)))):
+                    d = float(_iter_dist(u, phi, phi_old, phi_oold,
+                                         sc_vec, *key0))
+                    if d <= 1e-6:
+                        reuse = reuse_c
+                if reuse is None:
+                    sys._fused_cache_g = None
+        du, dp, its, _rr, reuse_out = galerkin.solve_newton_system(
             u, phi, phi_old, phi_oold, sys.ca, sys.scalars,
             ghier.levels, ghier.P_embed, con, active, rhs_u, rhs_p,
-            p.cg_rtol, dim=sys.dim, with_split=with_split,
+            p.cg_rtol, reuse, dim=sys.dim, with_split=with_split,
             monolithic=sys.monolithic)
+        if cache_on:
+            sys._fused_cache_g = ((u, phi, phi_old, phi_oold, sc_vec),
+                                  (with_split, sys.monolithic),
+                                  reuse_out)
         total_its += int(its)
         du, dp = expand_update(du, dp, con, active)
         return du, dp, total_its
