@@ -1079,7 +1079,8 @@ def solve_split(sys, hier: GalerkinHierarchy, u, phi, phi_old, phi_oold,
                     zip(key0, (u, phi, phi_old, phi_oold, sc_vec)))):
             d = float(_iter_dist(u, phi, phi_old, phi_oold, sc_vec,
                                  *key0))
-            if d <= 1e-6:
+            if d <= float(os.environ.get("CRACKS_TPU_JAC_RTOL",
+                                         "1e-6")):
                 jac32 = jac32_c
             if debug:
                 print(f"#     [jac-g "
@@ -1102,7 +1103,8 @@ def solve_split(sys, hier: GalerkinHierarchy, u, phi, phi_old, phi_oold,
     # data (active-set mask in free_p) is rebuilt per iteration.
     lv_cache = getattr(sys, "_split_levels_cache_g", None)
     reuse = (lv_cache[1] if lv_cache is not None
-             and lv_cache[0] is jac32 else None)
+             and lv_cache[0] is jac32
+             and os.environ.get("CRACKS_TPU_REUSE") != "0" else None)
     level_ops, reuse_out = _build_ops(hier.levels, hier.P_embed, jac32,
                                       sys.ca, active, con, dim=sys.dim,
                                       reuse=reuse)

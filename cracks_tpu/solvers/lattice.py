@@ -1319,7 +1319,8 @@ def _solve_split(sys, hier: LatticeHierarchy, u, phi, phi_old, phi_oold,
                     zip(key0, (u, phi, phi_old, phi_oold, sc_vec)))):
             d = float(_iter_dist(u, phi, phi_old, phi_oold, sc_vec,
                                  *key0))
-            if d <= 1e-6:
+            if d <= float(os.environ.get("CRACKS_TPU_JAC_RTOL",
+                                         "1e-6")):
                 jacs, jacL64 = jacs_c, jacL64_c
             if debug:
                 print(f"#     [jac {'reuse' if jacs is not None else 'rebuild'}:"
@@ -1911,7 +1912,8 @@ def _solve_split_lat(sys, hier: LatticeHierarchy, U, P, P_old, P_oold,
             and all(a.shape == b.shape for a, b in
                     zip(key0, (U, P, P_old, P_oold, sc_vec)))):
             d = float(_iter_dist(U, P, P_old, P_oold, sc_vec, *key0))
-            if d <= 1e-6:
+            if d <= float(os.environ.get("CRACKS_TPU_JAC_RTOL",
+                                         "1e-6")):
                 jacs, jacL64 = jacs_c, jacL64_c
             if debug:
                 print(f"#     [jac-lat "

@@ -204,9 +204,12 @@ def _solve_assembled(sys, u, phi, phi_old, phi_oold, con, active,
         # statistics parity is untouched.
         from .lattice import _iter_dist, _scalars_vec
         from .multigrid import sharp_spectrum
+        import os as _os
         reuse = None
         sc_vec = None
-        cache_on = sharp_spectrum(sys.mesh.n_dofs)
+        _r = _os.environ.get("CRACKS_TPU_REUSE", "auto")
+        cache_on = (_r == "1" if _r in ("0", "1")
+                    else sharp_spectrum(sys.mesh.n_dofs))
         if cache_on:
             sc_vec = _scalars_vec(sys.scalars)
             cache = getattr(sys, "_fused_cache_g", None)
@@ -218,7 +221,8 @@ def _solve_assembled(sys, u, phi, phi_old, phi_oold, con, active,
                                        sc_vec)))):
                     d = float(_iter_dist(u, phi, phi_old, phi_oold,
                                          sc_vec, *key0))
-                    if d <= 1e-6:
+                    if d <= float(_os.environ.get(
+                            "CRACKS_TPU_JAC_RTOL", "1e-6")):
                         reuse = reuse_c
                 if reuse is None:
                     sys._fused_cache_g = None
