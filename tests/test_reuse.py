@@ -33,7 +33,8 @@ def _run(tmp_path, tag, **over):
     sim, _ = run_prm(f"{PRM_DIR}/hetero_3d_1.prm",
                      output_dir=str(tmp_path / tag),
                      max_no_timesteps=1, linear_solver="cg",
-                     preconditioner="gmg", **over)
+                     preconditioner="gmg", mixed_precision_cg=True,
+                     **over)
     return sim
 
 
