@@ -424,6 +424,53 @@ def _fused_line_search(u, phi, du, dp, phi_old, phi_oold, active, ca, sc,
     return u_out, phi_out, tot_p, pde_u, pde_p, res, k
 
 
+@partial(jax.jit, static_argnames=("dim", "with_split"))
+def _ls_trial(u, phi, du, dp, phi_old, phi_oold, active, ca, sc, con,
+              damping, k, *, dim, with_split):
+    """One backtracking trial (single bounded dispatch) — the body of
+    _fused_line_search, identical arithmetic (scale = damping ** k
+    computed ON DEVICE so the iterates match the fused variant
+    bit-for-bit)."""
+    scale = damping ** k
+    ut = u + du * scale
+    pt = phi + dp * scale
+    ru, rp = physics.assemble_residual(
+        ut, pt, phi_old, phi_oold, ca, sc,
+        dim=dim, with_split=with_split, monolithic=False)
+    tot_p = hanging_transpose_p(rp, con)
+    pde_u, pde_p = condense_residual(ru, rp, con, active)
+    return ut, pt, tot_p, pde_u, pde_p, residual_norm(pde_u, pde_p)
+
+
+def _line_search_split(u, phi, du, dp, phi_old, phi_oold, active, ca,
+                       sc, con, res0, damping, *, dim, with_split,
+                       max_steps):
+    """Host-orchestrated backtracking line search: one bounded device
+    dispatch per trial.  Bit-identical decisions to _fused_line_search
+    (same trial arithmetic, same acceptance compare) — used at
+    production sizes where a failed search's max_steps trials fused
+    into ONE dispatch produce a 10-20 s execution, which the shared
+    TPU worker is known to die on (PERFORMANCE.md)."""
+    res0_h = float(res0)
+    damp_d = jnp.asarray(damping, u.dtype)
+    k = 0
+    out = _ls_trial(u, phi, du, dp, phi_old, phi_oold, active, ca, sc,
+                    con, damp_d, jnp.asarray(0.0, u.dtype), dim=dim,
+                    with_split=with_split)
+    accepted = float(out[5]) < res0_h
+    while not accepted and k < max_steps - 1:
+        k += 1
+        out = _ls_trial(u, phi, du, dp, phi_old, phi_oold, active, ca,
+                        sc, con, damp_d, jnp.asarray(float(k), u.dtype),
+                        dim=dim, with_split=with_split)
+        accepted = float(out[5]) < res0_h
+    ut, pt, tot_p, pde_u, pde_p, res = out
+    u_out = ut if accepted else u
+    phi_out = pt if accepted else phi
+    return (u_out, phi_out, tot_p, pde_u, pde_p, res,
+            jnp.asarray(k, jnp.int32))
+
+
 def _flips_within_band(newton_step, ind_flip_max, ind_act_max,
                        active_set_rel_tol, c_weight, G_c, alpha_eps):
     """Marginal-dof complementarity band of the PDAS convergence test.
@@ -562,10 +609,16 @@ def newton_active_set(sys, state, time: float, verbose: bool = True):
                   f"({n_lin} its)]", flush=True)
         sum_lin_it += n_lin
 
-        # ---- line search, one dispatch for all trials
-        #      (cracks.cc:2940-2957) ----
+        # ---- line search (cracks.cc:2940-2957): one dispatch for all
+        # trials at golden sizes; one bounded dispatch PER trial at
+        # production sizes (a failed search's fused max_steps f64
+        # assemblies form a 10-20 s execution, which kills the shared
+        # TPU worker — same boundary as the split-dispatch solve) ----
+        from .lattice import FUSED_SOLVE_MAX_DOFS as _FMAX
+        _ls = (_line_search_split if sys.mesh.n_dofs > _FMAX
+               else _fused_line_search)
         u, phi, tot_p, pde_u, pde_p, res_d, ls_d = _tick(
-            "line_search", _fused_line_search(
+            "line_search", _ls(
                 u, phi, du, dp, state.phi_old, state.phi_oold, active,
                 sys.ca, sys.scalars, con,
                 jnp.asarray(newton_residual), p.line_search_damping,
