@@ -990,6 +990,38 @@ def _prepare(u, phi, phi_old, phi_oold, caL32, sc, P_embed, *, grid,
     return tuple(coarsen_chain(jacL, P_embed, n_levels, seam))
 
 
+@partial(jax.jit, static_argnames=("n_levels", "seam"))
+def _prepare32_from64(jacL64, P_embed, *, n_levels, seam=None):
+    """Branch-consistent f32 chain: CAST the exact f64 element matrices
+    and Galerkin-coarsen, instead of rebuilding the physics in f32.
+
+    With the spectral split in the matrix, the element Jacobian takes
+    data-dependent branches (eigenvalue-positivity gates, the hand
+    linearization cracks.cc:2065-2081); near an eigenvalue sign change
+    an f32 rebuild decides those gates DIFFERENTLY than the f64
+    operator, making the preconditioner O(1) wrong on the flipped
+    cells.  Deep in the softening branch (miehe refine-7 step 23,
+    measured) that capped each refinement pass at ~20x and eventually
+    REGRESSED the trial residual — the u-solve returned nothing and the
+    Newton iteration spun through the dt-cut ladder for hours.  Casting
+    the stored f64 matrices makes the f32 chain a ROUNDING of the exact
+    operator (branches decided once, in f64): refinement contracts at
+    the f32-rounding rate again.  It also deletes the separate f32
+    physics build."""
+    return tuple(coarsen_chain(jacL64.astype(jnp.float32), P_embed,
+                               n_levels, seam))
+
+
+@partial(jax.jit, static_argnames=("n_levels", "ns_jac", "seam"))
+def _prepare32_from64_lat(jacL64, P_embed, *, n_levels, ns_jac=None,
+                          seam=None):
+    """Sharded-DoF variant of _prepare32_from64 (jacL64 slab-sharded
+    along the cell axis; the chain keeps the same shardings)."""
+    return _maybe_shard_jacs(
+        list(coarsen_chain(jacL64.astype(jnp.float32), P_embed,
+                           n_levels, seam)), ns_jac)
+
+
 @partial(jax.jit, static_argnames=("grid", "which", "dim", "pallas",
                                    "sharp", "seam"))
 def _prepare_levels(jacs, dir_u, dir_p, vert_pos, active, *, grid,
@@ -1334,17 +1366,16 @@ def _solve_split(sys, hier: LatticeHierarchy, u, phi, phi_old, phi_oold,
         sys._split_jac_cache = cache = None
         sys._split_levels_cache = None
         _mark("caches-dropped")
-        _p32 = _prepare(
-            u, phi, phi_old, phi_oold, sys.lattice_ca32, sys.scalars,
-            hier.P_embed, grid=grid, n_levels=hier.n_levels, seam=seam,
-            **kw)
-        _mark("p32-dispatched")
-        jacs = _tick("prepare32", _p32)
         _p64 = _prepare64(
             u, phi, phi_old, phi_oold, sys.lattice_ca64, sys.scalars,
             grid=grid, **kw)
         _mark("p64-dispatched")
         jacL64 = _tick("prepare64", _p64)
+        # branch-consistent f32 chain: cast the f64 matrices (see
+        # _prepare32_from64 — an f32 physics rebuild flips spectral-
+        # split branches near eigenvalue sign changes)
+        jacs = _tick("prepare32", _prepare32_from64(
+            jacL64, hier.P_embed, n_levels=hier.n_levels, seam=seam))
         sys._split_jac_cache = ((u, phi, phi_old, phi_oold, sc_vec),
                                 (with_split, sys.monolithic),
                                 jacs, jacL64)
@@ -1923,13 +1954,14 @@ def _solve_split_lat(sys, hier: LatticeHierarchy, U, P, P_old, P_oold,
     if jacs is None:
         sys._split_jac_cache_lat = cache = None
         sys._split_levels_cache_lat = None
-        jacs = _prepare_lat(U, P, P_old, P_oold, sys.lattice_ca32,
-                            sys.scalars, hier.P_embed, grid=grid,
-                            n_levels=hier.n_levels, ns_jac=ns_jac,
-                            seam=hier.seam, **kw)
         jacL64 = _prepare64_lat(U, P, P_old, P_oold, sys.lattice_ca64,
                                 sys.scalars, grid=grid, ns_jac=ns_jac,
                                 seam=hier.seam, **kw)
+        # branch-consistent f32 chain (see _prepare32_from64): cast the
+        # exact f64 matrices instead of rebuilding the physics in f32
+        jacs = _prepare32_from64_lat(jacL64, hier.P_embed,
+                                     n_levels=hier.n_levels,
+                                     ns_jac=ns_jac, seam=hier.seam)
         sys._split_jac_cache_lat = ((U, P, P_old, P_oold, sc_vec),
                                     (with_split, sys.monolithic),
                                     jacs, jacL64)
